@@ -1,0 +1,117 @@
+"""Round benchmark: index-build throughput + BM25 query latency + the
+relational gate queries, on local[$SPARK_GRAFT_CPUS] over
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+ "sf": ..., plus diagnostic keys (docs_per_sec, query latencies)}.
+
+The headline engine numbers use a cached synthetic source-code corpus
+(BENCH_DOCS docs) because the testdata documents table is small; corpus
+generation is excluded from timings (it is input, not engine work).
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+tools/bench_scaling.py and recorded in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_DOCS = int(os.environ.get("IVORY_BENCH_DOCS", "50000"))
+
+
+def ensure_bench_corpus(path: str, n_docs: int) -> str:
+    pq = os.path.join(path, "corpus.parquet")
+    if not os.path.exists(pq):
+        from ivory_spark.corpus import write_corpus
+
+        write_corpus(path, n_docs, seed=13)
+    return pq
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    from ivory_spark.corpus import QUERY_SET
+    from ivory_spark.index.build import IndexConfig, build_index
+    from ivory_spark.index.reader import open_index
+    from ivory_spark.ops import ir_relational as IR
+    from ivory_spark.query.wand import bm25_topk_wand
+    from ivory_spark.session import get_spark
+    from ivory_spark.sources.testdata import read_table
+
+    corpus_dir = os.path.join("/tmp", f"ivory_bench_corpus_{BENCH_DOCS}")
+    corpus_path = ensure_bench_corpus(corpus_dir, BENCH_DOCS)
+
+    spark = get_spark("ivory-bench", cores=cpus, shuffle_partitions=cpus)
+    timings: dict[str, float] = {}
+
+    # --- headline 1: index build throughput (fresh build, salted) --------
+    index_root = os.path.join("/tmp", f"ivory_bench_index_{BENCH_DOCS}_{cpus}")
+    shutil.rmtree(index_root, ignore_errors=True)
+    t0 = time.monotonic()
+    props = build_index(
+        spark,
+        corpus_path,
+        index_root,
+        IndexConfig(salt_threshold=BENCH_DOCS // 10, n_shards=cpus),
+    )
+    build_sec = time.monotonic() - t0
+    timings["index_build"] = round(build_sec, 3)
+    docs_per_sec = props["n_docs"] / build_sec
+
+    # --- headline 2: BM25 top-10 WAND latency (warm, batch of 15) --------
+    index = open_index(spark, index_root)
+    bm25_topk_wand(spark, index, QUERY_SET[:2], k=10).collect()  # warm workers
+    t0 = time.monotonic()
+    n_rows = bm25_topk_wand(spark, index, QUERY_SET, k=10).collect()
+    wand_sec = time.monotonic() - t0
+    timings["wand_topk_batch15"] = round(wand_sec, 3)
+    per_query_ms = wand_sec / len(QUERY_SET) * 1000
+
+    # --- gate queries over the sf dir tables ------------------------------
+    docs = read_table(spark, sf_dir, "documents")
+    gate = {
+        "ir_bm25_top10": lambda: IR.bm25_top10(spark, docs, IR.GATE_QUERIES).collect(),
+        "ir_term_stats": lambda: IR.term_stats(docs).collect(),
+    }
+    from ivory_spark.ops.dedup import minhash_dedup_pairs
+    from ivory_spark.ops.similarity import brute_force_topk, query_vectors
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    gate["dedup_minhash_pairs"] = lambda: minhash_dedup_pairs(docs, threshold=0.8).count()
+    gate["ann_cosine_top5"] = lambda: brute_force_topk(
+        emb, query_vectors(spark, emb, 10), k=5
+    ).collect()
+
+    for name, fn in gate.items():
+        t0 = time.monotonic()
+        fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "index-build + BM25 top-10 + pipeline ops wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "bench_docs": props["n_docs"],
+        "docs_per_sec": round(docs_per_sec, 1),
+        "bm25_query_ms": round(per_query_ms, 2),
+        "cpus": cpus,
+        "topk_rows": len(n_rows),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

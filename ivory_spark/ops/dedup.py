@@ -1,0 +1,219 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference's near-duplicate machinery is its LSH/pwsim subsystem
+(minhash/simhash signatures: ivory/lsh/projection/ComputeSignaturesMinhash.java,
+...Simhash.java; sliding-window similarity join:
+ivory/lsh/pwsim/cl/CLSlidingWindowPwsim.java:50-367). We re-express the
+same signature→bucket→verify shape with DataFrame ops:
+
+- exact_dedup        — sha256 content hash, groupBy winner (the north-rule
+                       content invariant; one shuffle, no Python);
+- minhash_signatures — portable md5-based min-hash over the token set;
+                       banding → bucket equi-join → exact-Jaccard verify
+                       (LSH banding replaces the reference's sorted
+                       sliding window — a join, not a sort, in Spark);
+- simhash            — 16-bit tf-weighted simhash + Hamming-distance pairs;
+- ngram_jaccard_pairs— exact word-n-gram Jaccard via shingle equi-join
+                       (index-join beats the O(n^2) cross product);
+- embedding_neardup  — cosine-similarity pairs over an embedding column.
+
+Every hash here is md5-based (not Spark's murmur3 `hash()`) so a DuckDB
+oracle can reproduce results bit-for-bit for the correctness gate.
+
+Scale notes: all pair generation goes through equi-joins on bucket/shingle
+keys (shuffle on key, skew-prone buckets bounded by band width); nothing
+collects to the driver; embedding pairs use a blocked self-join that at
+real scale should be replaced by the LSH route (bucket first).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+TOKEN_SPLIT = " "
+
+
+def _tokens(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), TOKEN_SPLIT), lambda t: t != "")
+
+
+def portable_hash(col: Column, seed: int) -> Column:
+    """64-bit-ish deterministic hash reproducible in ANSI SQL:
+    bigint of the first 15 hex chars of md5(seed || ':' || value)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One surviving row per distinct content hash (min id wins).
+    Returns (doc_id, sha256, n_dupes)."""
+    hashed = docs.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("sha256"))
+    return hashed.groupBy("sha256").agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).cast("int").alias("n_dupes")
+    ).select(id_col, "sha256", "n_dupes")
+
+
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = 12, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, m0..m{n-1}): min over the doc's distinct tokens of the
+    seeded portable hash — the minhash estimate of set similarity
+    (reference: ComputeSignaturesMinhash.java, re-based on md5)."""
+    words = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(_tokens(F.col(text_col)))).alias("w")
+    )
+    aggs = [F.min(portable_hash(F.col("w"), j)).alias(f"m{j}") for j in range(n_hashes)]
+    return words.groupBy(id_col).agg(*aggs)
+
+
+def minhash_band_pairs(
+    signatures: DataFrame, n_hashes: int = 12, band_size: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature become a
+    candidate pair (doc_a < doc_b). Bucket equi-join per band."""
+    n_bands = n_hashes // band_size
+    bands = None
+    for bnd in range(n_bands):
+        key = F.concat_ws(
+            "_", *[F.col(f"m{bnd * band_size + j}") for j in range(band_size)]
+        )
+        part = signatures.select(
+            F.col(id_col), F.lit(bnd).alias("band"), key.alias("bkey")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.select(F.col("band"), F.col("bkey"), F.col(id_col).alias("doc_a"))
+    b = bands.select(F.col("band"), F.col("bkey"), F.col(id_col).alias("doc_b"))
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    docs: DataFrame, pairs: DataFrame, threshold: float,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Exact token-set Jaccard for candidate pairs; keeps >= threshold.
+    Returns (doc_a, doc_b, jaccard) with jaccard rounded to 6 dp."""
+    sets = docs.select(
+        F.col(id_col), F.array_distinct(_tokens(F.col(text_col))).alias("ws")
+    )
+    j = (
+        pairs.join(sets.withColumnRenamed(id_col, "doc_a").withColumnRenamed("ws", "wa"), "doc_a")
+        .join(sets.withColumnRenamed(id_col, "doc_b").withColumnRenamed("ws", "wb"), "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("wa", "wb")))
+        .withColumn("uni", F.size(F.array_union("wa", "wb")))
+        .withColumn("jaccard", F.round(F.col("inter") / F.col("uni"), 6))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return j.select("doc_a", "doc_b", "jaccard")
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame, n_hashes: int = 12, band_size: int = 3, threshold: float = 0.8,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Full minhash-LSH near-dup pipeline: sign → band → verify."""
+    sigs = minhash_signatures(docs, n_hashes, id_col, text_col)
+    cands = minhash_band_pairs(sigs, n_hashes, band_size, id_col)
+    return jaccard_verify(docs, cands, threshold, id_col, text_col)
+
+
+def simhash(
+    docs: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, simhash): tf-weighted sign-sum fingerprint
+    (reference: ComputeSignaturesSimhash.java, md5-based, 16-bit)."""
+    words = docs.select(F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("w"))
+    tf = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("tf"))
+    h = tf.withColumn("h", portable_hash(F.col("w"), 0))
+    bit_aggs = []
+    for bit in range(bits):
+        signed = F.when(
+            F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, F.col("tf")
+        ).otherwise(-F.col("tf"))
+        bit_aggs.append(
+            F.when(F.sum(signed) > 0, F.lit(2**bit)).otherwise(F.lit(0)).alias(f"b{bit}")
+        )
+    sh = h.groupBy(id_col).agg(*bit_aggs)
+    total = sum((F.col(f"b{bit}") for bit in range(1, bits)), F.col("b0"))
+    return sh.select(F.col(id_col), total.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    sims: DataFrame, max_hamming: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Pairs within Hamming distance (small-table self-join; at scale,
+    block by bit-bands first, same trick as minhash banding)."""
+    a = sims.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sims.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("hb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def ngram_shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct)."""
+    toks = _tokens(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle equi-join:
+    candidates = pairs sharing >= 1 shingle (inverted-index join, the
+    IR-flavored alternative to a cross product), then exact verify."""
+    sh = docs.select(F.col(id_col), ngram_shingles(F.col(text_col), n).alias("sh"))
+    sh = sh.withColumn("nsh", F.size("sh"))
+    ex = sh.select(F.col(id_col), "nsh", F.explode("sh").alias("g"))
+    a = ex.select(F.col(id_col).alias("doc_a"), F.col("nsh").alias("na"), "g")
+    b = ex.select(F.col(id_col).alias("doc_b"), F.col("nsh").alias("nb"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6)
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame, threshold: float = 0.98, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Cosine near-duplicate pairs over an embedding column. Exact
+    (self-join); at scale bucket by LSH hyperplanes first."""
+    def cos(va: Column, vb: Column) -> Column:
+        dot = F.aggregate(
+            F.zip_with(va, vb, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        na = F.sqrt(F.aggregate(va, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+        nb = F.sqrt(F.aggregate(vb, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+        return dot / (na * nb)
+
+    a = emb.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("cosine", F.round(cos(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", "cosine")
+    )

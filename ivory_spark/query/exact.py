@@ -1,0 +1,142 @@
+"""Exact BM25 top-k retrieval — the declarative DataFrame path.
+
+The analogue of Ivory's doc-at-a-time ranker
+(ivory/smrf/retrieval/MRFDocumentRanker.java:113-184) re-expressed as a
+relational plan: candidate postings (Parquet termid pushdown) → decode →
+broadcast-join query terms → float32 per-term contributions → canonical
+termid-ordered float32 fold per (qid, docno) → window top-k with Ivory's
+tie-break (score desc, docno desc;
+ivory/smrf/retrieval/Accumulator.java:38-53).
+
+This path is rank- and score-bit-identical to the numpy oracle and to the
+WAND kernel (tests/test_rank_identity.py); it is the correctness anchor,
+not the throughput path.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ivory_spark.functions.scoring import bm25_idf, bm25_tf_part, f32_ordered_sum
+from ivory_spark.functions.tokenizer import tokenize_py
+from ivory_spark.index import codec
+from ivory_spark.index.reader import Index
+
+
+def query_term_table(
+    spark: SparkSession, index: Index, queries: list[dict]
+) -> DataFrame:
+    """(qid, termid, qtf, df) for all in-dictionary query terms.
+
+    Query strings are tokenized with the *same* tokenizer as indexing
+    (RetrievalEnvironment.java:136-152,403-405); duplicate query tokens
+    fold into a qtf weight (TermCliqueSet.java:62-79 — duplicate cliques
+    multiply the term's contribution).
+    """
+    rows = []
+    for q in queries:
+        for term, qtf in sorted(Counter(tokenize_py(q["query"])).items()):
+            rows.append((q["qid"], term, int(qtf)))
+    if not rows:
+        return spark.createDataFrame([], "qid string, termid long, qtf int, df int")
+    qt = spark.createDataFrame(rows, "qid string, term string, qtf int")
+    terms = sorted({r[1] for r in rows})
+    dict_rows = index.dictionary.filter(F.col("term").isin(terms)).select(
+        "term", "termid", "df"
+    )
+    return qt.join(F.broadcast(dict_rows), "term").select("qid", "termid", "qtf", "df")
+
+
+def candidate_postings(index: Index, termids: list[int]) -> DataFrame:
+    """Postings runs for the given termids — a literal IN filter so the
+    Parquet scan prunes row groups by termid min/max (the columnar
+    replacement for IntPostingsForwardIndex byte-offset seeks)."""
+    return index.postings.filter(F.col("termid").isin([int(t) for t in termids]))
+
+
+def _decode_runs(runs: DataFrame) -> DataFrame:
+    """blob rows -> (termid, docno, tf, dl) posting rows via Arrow batches."""
+
+    def gen(it):
+        for pdf in it:
+            outs = []
+            for termid, blob in zip(pdf["termid"], pdf["blob"]):
+                docnos, tfs, dls = codec.decode_run(bytes(blob))
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "termid": np.full(len(docnos), termid, dtype=np.int64),
+                            "docno": docnos.astype(np.int64),
+                            "tf": tfs,
+                            "dl": dls,
+                        }
+                    )
+                )
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                {"termid": pd.Series(dtype="int64"), "docno": pd.Series(dtype="int64"),
+                 "tf": pd.Series(dtype="int32"), "dl": pd.Series(dtype="int32")}
+            )
+
+    return runs.select("termid", "blob").mapInPandas(
+        gen, schema="termid long, docno long, tf int, dl int"
+    )
+
+
+def bm25_topk(
+    spark: SparkSession,
+    index: Index,
+    queries: list[dict],
+    k: int = 10,
+    with_docid: bool = True,
+) -> DataFrame:
+    """Exact BM25 top-k for a query batch -> (qid, rank, docno[, docid], score)."""
+    props = index.properties
+    n_docs, avgdl = props["n_docs"], props["avgdl"]
+    k1, b, idf_mode = props["k1"], props["b"], props["idf_mode"]
+
+    qt = query_term_table(spark, index, queries)
+    termids = [r["termid"] for r in qt.select("termid").distinct().collect()]
+    if not termids:
+        schema = "qid string, rank int, docno long, score float"
+        if with_docid:
+            schema = "qid string, rank int, docno long, docid string, score float"
+        return spark.createDataFrame([], schema)
+
+    postings = _decode_runs(candidate_postings(index, termids))
+    cand = postings.join(F.broadcast(qt), "termid")
+
+    @F.pandas_udf("float")
+    def contrib_udf(tf: pd.Series, dl: pd.Series, df: pd.Series, qtf: pd.Series) -> pd.Series:
+        idf = bm25_idf(n_docs, df.to_numpy(), mode=idf_mode)
+        base = idf * bm25_tf_part(tf.to_numpy(), dl.to_numpy(), avgdl, k1, b)
+        return pd.Series(qtf.to_numpy().astype(np.float32) * base)
+
+    cand = cand.withColumn("contrib", contrib_udf("tf", "dl", "df", "qtf"))
+
+    @F.pandas_udf("float")
+    def fold_udf(contribs: pd.Series) -> pd.Series:
+        # canonical float32 accumulation: already termid-sorted via sort_array
+        return pd.Series(
+            [f32_ordered_sum(np.asarray([c["contrib"] for c in arr], dtype=np.float32))
+             for arr in contribs]
+        )
+
+    scored = (
+        cand.groupBy("qid", "docno")
+        .agg(F.sort_array(F.collect_list(F.struct("termid", "contrib"))).alias("cs"))
+        .withColumn("score", fold_udf("cs"))
+        .drop("cs")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.desc("docno"))
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    if with_docid:
+        topk = topk.join(index.docid_expr(), "docno")
+    cols = ["qid", "rank", "docno"] + (["docid"] if with_docid else []) + ["score"]
+    return topk.select(*cols).orderBy("qid", "rank")

@@ -1,0 +1,115 @@
+"""Codec round-trips — analogue of Ivory's postings unit tests
+(src/java/test/ivory/core/data/index/PostingsListDocSortedPositionalTest.java:33-129)."""
+
+import numpy as np
+import pytest
+
+from ivory_spark.index import codec
+
+
+def rt(docnos, tfs, dls):
+    docnos = np.asarray(docnos, dtype=np.uint64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    dls = np.asarray(dls, dtype=np.int64)
+    impacts = tfs.astype(np.float32)  # any float works for round-trip
+    blob = codec.encode_run(docnos, tfs, dls, impacts)
+    d, t, l = codec.decode_run(blob)
+    assert np.array_equal(d, docnos)
+    assert np.array_equal(t, tfs)
+    assert np.array_equal(l, dls)
+    return blob
+
+
+def test_varint_roundtrip():
+    vals = np.array([0, 1, 127, 128, 300, 2**14, 2**31 - 1, 2**40, 2**63 - 1], dtype=np.uint64)
+    assert np.array_equal(codec.varint_decode(codec.varint_encode(vals)), vals)
+
+
+def test_varint_empty():
+    assert codec.varint_decode(codec.varint_encode(np.array([], dtype=np.uint64))).size == 0
+
+
+def test_reference_fixture_postings():
+    # FIXTURES.md §4: [(13, tf=5), (14, tf=2), (24, tf=1)], df=3
+    rt([13, 14, 24], [5, 2, 1], [10, 20, 30])
+
+
+@pytest.mark.parametrize("n", [1, 127, 128, 129, 1000])
+def test_block_boundaries(n):
+    docnos = np.cumsum(np.arange(1, n + 1)) + 5
+    tfs = (np.arange(n) % 7) + 1
+    dls = (np.arange(n) % 50) + 1
+    rt(docnos, tfs, dls)
+
+
+def test_huge_gaps():
+    rt([1, 2**31, 2**31 + 1, 2**40], [1, 2, 3, 4], [9, 9, 9, 9])
+
+
+def test_empty_run():
+    blob = codec.encode_run(
+        np.array([], np.uint64), np.array([], np.int64), np.array([], np.int64),
+        np.array([], np.float32),
+    )
+    d, t, l = codec.decode_run(blob)
+    assert d.size == 0 and t.size == 0 and l.size == 0
+
+
+def test_non_increasing_rejected():
+    with pytest.raises(ValueError):
+        codec.encode_run(
+            np.array([5, 5], np.uint64), np.array([1, 1], np.int64),
+            np.array([1, 1], np.int64), np.array([1, 1], np.float32),
+        )
+
+
+def test_block_random_access():
+    n = 300
+    docnos = np.arange(1, n + 1, dtype=np.uint64) * 3
+    tfs = (np.arange(n) % 9) + 1
+    dls = np.full(n, 40)
+    blob = codec.encode_run(docnos, tfs, dls, tfs.astype(np.float32))
+    npost, nblocks = codec.read_header(blob)
+    assert npost == n and nblocks == 3
+    got_d, got_t, got_l = [], [], []
+    for bi in range(nblocks):
+        d, t, l = codec.decode_block(blob, bi)
+        got_d.append(d)
+        got_t.append(t)
+        got_l.append(l)
+    assert np.array_equal(np.concatenate(got_d), docnos)
+    assert np.array_equal(np.concatenate(got_t), tfs)
+    assert np.array_equal(np.concatenate(got_l), dls)
+
+
+def test_directory_block_max():
+    n = 200
+    docnos = np.arange(1, n + 1, dtype=np.uint64)
+    tfs = np.ones(n, np.int64)
+    dls = np.full(n, 10)
+    impacts = np.arange(n, dtype=np.float32)
+    blob = codec.encode_run(docnos, tfs, dls, impacts)
+    directory = codec.read_directory(blob)
+    assert directory[0]["max_impact"] == np.float32(127.0)
+    assert directory[1]["max_impact"] == np.float32(199.0)
+    assert directory[0]["last_docno"] == 128
+    assert directory[1]["last_docno"] == 200
+
+
+def test_merge_salted_runs_byte_identical():
+    # FIXTURES.md §4: salted splits must merge to the unsalted bytes
+    n = 500
+    docnos = np.sort(np.random.RandomState(7).choice(10**6, n, replace=False)).astype(np.uint64)
+    tfs = (np.arange(n) % 11) + 1
+    dls = (np.arange(n) % 90) + 5
+
+    def impacts_fn(t, l):
+        return (t.astype(np.float32) / (l.astype(np.float32) + 1)).astype(np.float32)
+
+    whole = codec.encode_run(docnos, tfs, dls, impacts_fn(tfs, dls))
+    splits = [(0, 100), (100, 350), (350, 500)]
+    runs = [
+        codec.encode_run(docnos[a:b], tfs[a:b], dls[a:b], impacts_fn(tfs[a:b], dls[a:b]))
+        for a, b in splits
+    ]
+    assert codec.merge_runs(runs, impacts_fn) == whole

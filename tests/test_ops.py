@@ -1,0 +1,163 @@
+"""Training-pipeline operators: dedup suite, similarity search, text
+stats, multimodal plumbing — over the driver-generated documents /
+embeddings tables at sf0.001."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_exact_dedup(spark, docs):
+    from ivory_spark.ops.dedup import exact_dedup
+
+    out = exact_dedup(docs).collect()
+    n_docs = docs.count()
+    assert sum(r["n_dupes"] for r in out) == n_docs
+    assert len(out) == docs.select("text").distinct().count()
+
+
+def test_minhash_pipeline(spark, docs):
+    from ivory_spark.ops.dedup import minhash_dedup_pairs, minhash_signatures
+
+    sigs = minhash_signatures(docs.limit(100))
+    row = sigs.first()
+    assert all(row[f"m{j}"] is not None for j in range(12))
+    pairs = minhash_dedup_pairs(docs.limit(100), threshold=0.5)
+    pdf = pairs.toPandas()
+    # symmetric-free, ordered pairs
+    assert (pdf["doc_a"] < pdf["doc_b"]).all()
+    assert (pdf["jaccard"] >= 0.5).all()
+
+
+def test_minhash_finds_true_duplicates(spark):
+    rows = [(1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "totally different words here now ok")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    from ivory_spark.ops.dedup import minhash_dedup_pairs
+
+    got = {(r["doc_a"], r["doc_b"]) for r in minhash_dedup_pairs(d, threshold=0.9).collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got
+
+
+def test_simhash(spark, docs):
+    from ivory_spark.ops.dedup import simhash, simhash_pairs
+
+    sh = simhash(docs.limit(50))
+    vals = [r["simhash"] for r in sh.collect()]
+    assert all(0 <= v < 2**16 for v in vals)
+    # identical docs → identical simhash → hamming 0
+    rows = [(1, "a b c d e"), (2, "a b c d e")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = simhash_pairs(simhash(d), max_hamming=0).collect()
+    assert [(p["doc_a"], p["doc_b"], p["hamming"]) for p in pairs] == [(1, 2, 0)]
+
+
+def test_ngram_jaccard(spark):
+    rows = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over a lazy dog"),
+            (3, "completely unrelated text with other words")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    from ivory_spark.ops.dedup import ngram_jaccard_pairs
+
+    got = {(r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(d, threshold=0.3).collect()}
+    assert (1, 2) in got and (1, 3) not in got
+
+
+def test_embedding_neardup_self(spark, emb):
+    from ivory_spark.ops.dedup import embedding_neardup_pairs
+
+    # duplicate a vector: the pair must surface at threshold ~1
+    dup = emb.limit(1).select((F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label")
+    both = emb.limit(20).unionByName(dup)
+    pairs = embedding_neardup_pairs(both, threshold=0.9999).collect()
+    assert any({p["doc_a"], p["doc_b"]} == {0, 100000} for p in pairs)
+
+
+def test_brute_force_ann(spark, emb):
+    from ivory_spark.ops.similarity import brute_force_topk, query_vectors
+
+    q = query_vectors(spark, emb, n=5)
+    out = brute_force_topk(emb, q, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["qid"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for rows in by_q.values():
+        assert [r["rank"] for r in sorted(rows, key=lambda x: x["rank"])] == [1, 2, 3]
+        cosines = [r["cosine"] for r in sorted(rows, key=lambda x: x["rank"])]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_lsh_ann_recall(spark, emb):
+    from ivory_spark.ops.similarity import brute_force_topk, lsh_bucketed_topk, query_vectors
+
+    q = query_vectors(spark, emb, n=10)
+    exact = brute_force_topk(emb, q, k=3).collect()
+    # random data has near-tie cosines, so recall is inherently loose;
+    # 2 planes (4 buckets) keeps buckets large → recall well above chance
+    approx = lsh_bucketed_topk(emb, q, k=3, n_planes=2).collect()
+    exact_set = {(r["qid"], r["vec_id"]) for r in exact}
+    approx_set = {(r["qid"], r["vec_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.1
+    # approximate results are a subset of each query's bucket, ranked
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r["qid"], []).append(r)
+    for rows in by_q.values():
+        cosines = [r["cosine"] for r in sorted(rows, key=lambda x: x["rank"])]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_textstats(spark, docs):
+    from ivory_spark.ops.textstats import fingerprint, langid, quality_score, token_count
+
+    tc = token_count(docs.limit(20)).collect()
+    assert all(r["n_tokens"] >= r["n_distinct"] for r in tc)
+    qs = quality_score(docs.limit(20)).collect()
+    assert all(0.0 <= r["quality"] <= 1.0 for r in qs)
+    li = langid(docs.limit(20)).collect()
+    assert all(r["pred_lang"] in {"en", "es", "de", "fr", "zh"} for r in li)
+    fp = fingerprint(docs.limit(20)).collect()
+    assert all(len(r["fp16"]) == 16 for r in fp)
+    # fingerprint is content-determined
+    d = spark.createDataFrame([(1, "x y z"), (2, "x y z")], "doc_id long, text string")
+    fps = {r["fp16"] for r in fingerprint(d).collect()}
+    assert len(fps) == 1
+
+
+def test_multimodal_plumbing(spark, docs):
+    from ivory_spark.ops.multimodal import (
+        decode_features,
+        decode_real,
+        frame_sample_plan,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, docs.limit(30))
+    feats = decode_features(media).collect()
+    assert all(len(r["features"]) == 8 for r in feats)
+    assert all(0.0 <= v <= 1.0 for r in feats for v in r["features"])
+    # deterministic: same payload → same features
+    again = decode_features(media).collect()
+    assert {r["media_id"]: r["features"] for r in feats} == {
+        r["media_id"]: r["features"] for r in again
+    }
+    frames = frame_sample_plan(media, every_ms=500)
+    assert frames.count() > 0
+    with pytest.raises(NotImplementedError):
+        decode_real(media)
