@@ -82,30 +82,47 @@ def generate_corpus(n_docs: int, seed: int = 13, vocab_size: int | None = None) 
     repo_p = (1.0 / repo_ranks) / np.sum(1.0 / repo_ranks)
     repo_idx = rng.choice(n_repos, size=n_docs, p=repo_p)
 
+    # pre-sample everything in bulk (per-statement rng.choice with a
+    # zipf p-vector is O(vocab) per call — pathological at bench scale)
+    n_stmts_all = 3 + (rng.zipf(2.0, size=n_docs).astype(np.int64) % 40)
+    total_stmts = int(n_stmts_all.sum())
+    kw_pick = rng.randint(0, 10, size=(total_stmts, 2))
+    n_ids_all = rng.randint(2, 6, size=total_stmts)
+    total_ids = int(n_ids_all.sum())
+    id_pool = rng.choice(vocab_size, size=total_ids, p=zipf_p)
+    lits = rng.randint(0, 4096, size=total_stmts)
+    pkgs = rng.randint(0, 20, size=n_docs)
+    sig_draw = rng.rand(n_docs)
+    sig_pick = rng.randint(0, len(SIG_TOKENS), size=(n_docs, 2))
+
     rows = []
+    stmt_pos = 0
+    id_pos = 0
     for i in range(n_docs):
         lang = str(langs[i])
         repo = f"org{repo_idx[i] % n_orgs}/repo{repo_idx[i]}"
-        path = f"src/pkg{rng.randint(0, 20)}/mod{i}.{LANG_EXT[lang]}"
+        path = f"src/pkg{pkgs[i]}/mod{i}.{LANG_EXT[lang]}"
         commit = hashlib.sha256(f"{repo}:{path}:r{i % 7}".encode()).hexdigest()[:40]
+        n_stmts = int(n_stmts_all[i])
 
         if i % 211 == 5:  # empty file
             content = ""
         elif i == min(17, n_docs - 1):  # pathologically long file
-            body = " ".join(rng.choice(vocab[:50], size=40_000))
+            body = " ".join(vocab[:50][rng.randint(0, 50, size=40_000)])
             content = f"// generated blob\n{body}\n"
         else:
             kw = KEYWORDS[lang]
-            n_stmts = 3 + int(rng.zipf(2.0)) % 40
             parts = [f"// {lang} module {i}"]
-            for _ in range(n_stmts):
-                k1, k2 = rng.choice(kw, 2)
-                ids = vocab[rng.choice(vocab_size, size=rng.randint(2, 6), p=zipf_p)]
-                lit = rng.randint(0, 4096)
-                parts.append(f"{k1} {ids[0]}({', '.join(ids[1:])}) {k2} {lit};")
-            if rng.rand() < 0.02:
-                parts.append(" ".join(rng.choice(SIG_TOKENS, 2)))
+            for s in range(stmt_pos, stmt_pos + n_stmts):
+                k1, k2 = kw[kw_pick[s, 0]], kw[kw_pick[s, 1]]
+                nid = int(n_ids_all[s])
+                ids = vocab[id_pool[id_pos : id_pos + nid]]
+                id_pos += nid
+                parts.append(f"{k1} {ids[0]}({', '.join(ids[1:])}) {k2} {lits[s]};")
+            if sig_draw[i] < 0.02:
+                parts.append(f"{SIG_TOKENS[sig_pick[i, 0]]} {SIG_TOKENS[sig_pick[i, 1]]}")
             content = "\n".join(parts) + "\n"
+        stmt_pos += n_stmts
 
         rows.append((repo, path, commit, lang, content))
 
