@@ -170,6 +170,26 @@ def _engine_bm25_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_wand(spark, index, IR.GATE_QUERIES, k=10)
 
 
+def _engine_sd_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-dependence MRF (term + #od1 + #uw8 features) over a
+    positional index — the engine-native SD model (rows-only check here;
+    bit-exact golden tests in tests/test_mrf.py)."""
+    from ivory_spark.index.build import IndexConfig, build_index
+    from ivory_spark.index.reader import open_index
+    from ivory_spark.query.mrf import MrfModel, mrf_topk
+
+    corpus = documents_as_corpus(spark, sf_dir)
+    tag = sf_dir.strip("/").replace("/", "_")
+    work = os.path.join(tempfile.gettempdir(), f"ivory_engine_{tag}")
+    corpus_path = os.path.join(work, "corpus.parquet")
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        corpus.write.mode("overwrite").parquet(corpus_path)
+    root = os.path.join(work, "index_pos")
+    build_index(spark, corpus_path, root, IndexConfig(positional=True))
+    index = open_index(spark, root)
+    return mrf_topk(spark, index, IR.GATE_QUERIES, MrfModel(dependence="sd"))
+
+
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ivory_spark.ops.multimodal import decode_features, synthesize_media
 
@@ -214,6 +234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": lambda s, d: TS.fingerprint(_docs(s, d)),
         # --- engine-native (float32 kernels; pytest-verified, rows-only here)
         "engine_bm25_top10": _engine_bm25_top10,
+        "engine_sd_top10": _engine_sd_top10,
         "multimodal_features": _multimodal_features,
     }
 

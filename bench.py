@@ -87,7 +87,11 @@ def main() -> None:
     from ivory_spark.ops.similarity import brute_force_topk, query_vectors
 
     emb = read_table(spark, sf_dir, "embeddings")
-    gate["dedup_minhash_pairs"] = lambda: minhash_dedup_pairs(docs, threshold=0.8).count()
+    # bucket cap = LSH skew guard; without it near-identical-vocab docs
+    # make one bucket quadratic (111s -> ~5s at sf0.1)
+    gate["dedup_minhash_pairs"] = lambda: minhash_dedup_pairs(
+        docs, threshold=0.8, max_bucket=64
+    ).count()
     gate["ann_cosine_top5"] = lambda: brute_force_topk(
         emb, query_vectors(spark, emb, 10), k=5
     ).collect()

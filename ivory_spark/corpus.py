@@ -143,7 +143,10 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = 13) -> str:
     os.makedirs(out_dir, exist_ok=True)
     df = generate_corpus(n_docs, seed=seed)
     pq = os.path.join(out_dir, "corpus.parquet")
-    df.drop(columns=["sha256"]).to_parquet(pq, index=False)
+    # small row groups keep the single file splittable: Spark assigns scan
+    # tasks per row group, so a one-row-group file would serialize every
+    # downstream stage no matter how many cores the cluster has
+    df.drop(columns=["sha256"]).to_parquet(pq, index=False, row_group_size=2048)
     manifest = {
         "n_docs": n_docs,
         "seed": seed,

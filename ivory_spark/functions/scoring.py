@@ -110,6 +110,19 @@ def jelinek_mercer_score(
     )
 
 
+def f2exp_score(
+    tf: np.ndarray, dl: np.ndarray, df: np.ndarray | int, N: int, avgdl: float,
+    s: float = 0.5, k: float = 1.0,
+) -> np.ndarray:
+    """Axiomatic F2EXP (F2EXPScoringFunction.java:1-52):
+    ((N+1)/df)^k * tf / (tf + s + s*dl/avgdl)."""
+    tff = np.asarray(tf, dtype=np.float64)
+    dlf = np.asarray(dl, dtype=np.float64)
+    dff = np.asarray(df, dtype=np.float64)
+    idf = np.power((N + 1.0) / dff, k)
+    return (idf * tff / (tff + s + s * (dlf / avgdl))).astype(np.float32)
+
+
 def tfidf_score(tf: np.ndarray, df: np.ndarray | int, N: int) -> np.ndarray:
     tff = np.asarray(tf, dtype=np.float64)
     dff = np.asarray(df, dtype=np.float64)
@@ -147,4 +160,5 @@ SCORERS = {
     "dirichlet": dirichlet_score,
     "jm": jelinek_mercer_score,
     "tfidf": tfidf_score,
+    "f2exp": f2exp_score,
 }

@@ -75,6 +75,22 @@ def doc_terms(df: DataFrame, docno: str = "docno", content: str = "content") -> 
     return tf.filter(F.col("tf") <= MAX_TF)
 
 
+def doc_terms_positional(
+    df: DataFrame, docno: str = "docno", content: str = "content"
+) -> DataFrame:
+    """(docno, term, tf, positions) with 1-based positions over the token
+    stream (DocumentProcessingUtils.java:84-92) — fully JVM-side via
+    posexplode + sort_array(collect_list)."""
+    toks = df.select(
+        F.col(docno), F.posexplode(tokens_expr(F.col(content))).alias("pos0", "term")
+    )
+    grouped = toks.groupBy(docno, "term").agg(
+        F.count(F.lit(1)).cast("int").alias("tf"),
+        F.sort_array(F.collect_list((F.col("pos0") + 1).cast("int"))).alias("positions"),
+    )
+    return grouped.filter(F.col("tf") <= MAX_TF)
+
+
 _TDV_SCHEMA = T.ArrayType(
     T.StructType(
         [

@@ -47,6 +47,7 @@ from ivory_spark.plans.manifest import StageRun, stage_is_valid
 @dataclass
 class IndexConfig:
     min_df: int = 1  # reference default is 2 (app/PreprocessCollection.java:154-157)
+    max_df: int | None = None  # df-band upper cut (ComputeGlobalTermStatistics.java:92-111)
     k1: float = 1.2
     b: float = 0.75
     idf_mode: str = "okapi"
@@ -54,6 +55,7 @@ class IndexConfig:
     n_shards: int = 32  # global docno-range grid; raise with collection size
     partitions: int | None = None  # shuffle/write parallelism; None = session default
     tokenizer: str = "code_v1"
+    positional: bool = False  # store position p-gaps (pos_blob column)
 
 
 def _p(index_root: str, name: str) -> str:
@@ -120,11 +122,12 @@ def build_docmap(
     return assign_sequential_ids(dedup, w_cols, "docno", partitions)
 
 
-def _postings_schema() -> str:
-    return (
+def _postings_schema(positional: bool = False) -> str:
+    s = (
         "termid long, salt int, df int, cf long, n int, "
         "first_docno long, last_docno long, max_impact float, blob binary"
     )
+    return s + (", pos_blob binary" if positional else "")
 
 
 def build_index(
@@ -161,7 +164,12 @@ def build_index(
     # ---- stage: tdf (tokenize -> (docno, term, tf, dl)) ------------------
     if not stage_is_valid(index_root, "tdf", fp, [tdf_path]):
         with StageRun(index_root, "tdf", fp) as run:
-            tdf = doc_terms(docmap.select("docno", "content"))
+            if cfg.positional:
+                from ivory_spark.functions.tokenizer import doc_terms_positional
+
+                tdf = doc_terms_positional(docmap.select("docno", "content"))
+            else:
+                tdf = doc_terms(docmap.select("docno", "content"))
             from pyspark.sql import Window
             w = Window.partitionBy("docno")
             tdf = tdf.withColumn("dl", F.sum("tf").over(w).cast("int"))
@@ -190,6 +198,8 @@ def build_index(
             )
             if cfg.min_df > 1:
                 stats = stats.filter(F.col("df") >= cfg.min_df)
+            if cfg.max_df is not None:
+                stats = stats.filter(F.col("df") <= cfg.max_df)
             # termid rank by (df desc, term asc), 1-based
             stats = stats.withColumn("neg_df", -F.col("df"))
             dictionary, n_terms, pinned = assign_sequential_ids(
@@ -268,8 +278,14 @@ def build_index(
                 ends = np.concatenate((chg[1:], [len(t)]))
                 idf_all = bm25_idf(n_docs, dfs, mode=idf_mode)
                 imp_all = idf_all * bm25_tf_part(tf, dl, avgdl, k1, b)
+                positional = "positions" in pdf.columns
+                if positional:
+                    pos_lists = pdf["positions"].to_numpy()
+                    tf_ends = np.cumsum(tf)
                 out = {k: [] for k in ("termid", "salt", "df", "cf", "n",
                                         "first_docno", "last_docno", "max_impact", "blob")}
+                if positional:
+                    out["pos_blob"] = []
                 for a, z in zip(chg, ends):
                     d = docno[a:z]
                     imp = imp_all[a:z]
@@ -284,6 +300,13 @@ def build_index(
                     out["blob"].append(
                         codec.encode_run(d.astype(np.uint64), tf[a:z], dl[a:z], imp)
                     )
+                    if positional:
+                        flat = (
+                            np.concatenate([np.asarray(p) for p in pos_lists[a:z]])
+                            if z > a
+                            else np.empty(0, dtype=np.int64)
+                        )
+                        out["pos_blob"].append(codec.encode_positions(flat, tf[a:z]))
                 return pd.DataFrame(out)
 
             def encode_partition(batches):
@@ -314,7 +337,7 @@ def build_index(
             postings = (
                 joined.repartition(partitions, "termid", "salt")
                 .sortWithinPartitions("termid", "salt", "docno")
-                .mapInPandas(encode_partition, schema=_postings_schema())
+                .mapInPandas(encode_partition, schema=_postings_schema(cfg.positional))
             )
             # cluster by termid for parquet row-group pruning at query time
             (

@@ -179,6 +179,41 @@ def decode_block(blob: bytes, bi: int) -> tuple[np.ndarray, np.ndarray, np.ndarr
     return docnos, vals[sz : 2 * sz].astype(np.int32), vals[2 * sz : 3 * sz].astype(np.int32)
 
 
+def encode_positions(flat_positions: np.ndarray, tfs: np.ndarray) -> bytes:
+    """Encode per-posting position lists (1-based, ascending) as one
+    varint stream of p-gaps: first position of each posting absolute,
+    subsequent ones as gaps — the byte-aligned analogue of the
+    reference's gamma-coded p-gaps
+    (PostingsListDocSortedPositional.java:147-179). Stored as a separate
+    column (pos_blob) so non-positional readers never touch the bytes
+    (Parquet column pruning replaces the positional/non-positional
+    format split of the reference)."""
+    flat = np.asarray(flat_positions, dtype=np.uint64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    if flat.size == 0:
+        return b""
+    starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    gaps = np.empty_like(flat)
+    gaps[1:] = flat[1:] - flat[:-1]
+    gaps[starts] = flat[starts]
+    return varint_encode(gaps).tobytes()
+
+
+def decode_positions(pos_blob: bytes, tfs: np.ndarray) -> list[np.ndarray]:
+    """Inverse of encode_positions: per-posting position arrays."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    if len(pos_blob) == 0:
+        return [np.empty(0, dtype=np.int64) for _ in range(len(tfs))]
+    gaps = varint_decode(np.frombuffer(pos_blob, dtype=np.uint8)).astype(np.int64)
+    ends = np.cumsum(tfs)
+    starts = ends - tfs
+    p = np.cumsum(gaps)
+    # subtract the running total just before each posting's first position
+    offsets = np.where(starts > 0, p[np.maximum(starts - 1, 0)], 0)
+    flat = p - np.repeat(offsets, tfs)
+    return list(np.split(flat, ends[:-1]))
+
+
 def merge_runs(blobs: list[bytes], impacts_fn) -> bytes:
     """Merge docno-disjoint, range-ordered runs into one blob.
 

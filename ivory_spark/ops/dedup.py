@@ -68,10 +68,20 @@ def minhash_signatures(
 
 
 def minhash_band_pairs(
-    signatures: DataFrame, n_hashes: int = 12, band_size: int = 3, id_col: str = "doc_id"
+    signatures: DataFrame,
+    n_hashes: int = 12,
+    band_size: int = 3,
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the signature become a
-    candidate pair (doc_a < doc_b). Bucket equi-join per band."""
+    candidate pair (doc_a < doc_b). Bucket equi-join per band.
+
+    max_bucket: skew guard for production runs — buckets larger than
+    this are dropped before the self-join (a bucket of size s yields
+    s^2/2 pairs; one hot bucket can dominate the whole job). Standard
+    LSH practice; costs recall only for documents whose every band
+    lands in a hot bucket. None = exact banding (use for oracle checks)."""
     n_bands = n_hashes // band_size
     bands = None
     for bnd in range(n_bands):
@@ -82,6 +92,11 @@ def minhash_band_pairs(
             F.col(id_col), F.lit(bnd).alias("band"), key.alias("bkey")
         )
         bands = part if bands is None else bands.unionByName(part)
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        cnt = F.count(F.lit(1)).over(Window.partitionBy("band", "bkey"))
+        bands = bands.withColumn("_bc", cnt).filter(F.col("_bc") <= max_bucket).drop("_bc")
     a = bands.select(F.col("band"), F.col("bkey"), F.col(id_col).alias("doc_a"))
     b = bands.select(F.col("band"), F.col("bkey"), F.col(id_col).alias("doc_b"))
     return (
@@ -114,11 +129,11 @@ def jaccard_verify(
 
 def minhash_dedup_pairs(
     docs: DataFrame, n_hashes: int = 12, band_size: int = 3, threshold: float = 0.8,
-    id_col: str = "doc_id", text_col: str = "text",
+    id_col: str = "doc_id", text_col: str = "text", max_bucket: int | None = None,
 ) -> DataFrame:
     """Full minhash-LSH near-dup pipeline: sign → band → verify."""
     sigs = minhash_signatures(docs, n_hashes, id_col, text_col)
-    cands = minhash_band_pairs(sigs, n_hashes, band_size, id_col)
+    cands = minhash_band_pairs(sigs, n_hashes, band_size, id_col, max_bucket)
     return jaccard_verify(docs, cands, threshold, id_col, text_col)
 
 

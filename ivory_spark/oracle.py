@@ -40,6 +40,7 @@ class OracleIndex:
     doclens: dict[int, int]
     dictionary: dict[str, tuple[int, int, int]]  # term -> (termid, df, cf)
     postings: dict[str, list[tuple[int, int]]]  # term -> [(docno, tf)] doc-sorted
+    positions: dict[str, dict[int, list[int]]] = None  # term -> docno -> positions
 
 
 def build_oracle_index(corpus: pd.DataFrame, min_df: int = 1) -> OracleIndex:
@@ -52,6 +53,7 @@ def build_oracle_index(corpus: pd.DataFrame, min_df: int = 1) -> OracleIndex:
 
     doclens: dict[int, int] = {}
     postings: dict[str, list[tuple[int, int]]] = {}
+    positions: dict[str, dict[int, list[int]]] = {}
     docids: dict[int, str] = {}
     for row in df.itertuples(index=False):
         tp = term_positions_py(row.content)
@@ -60,6 +62,7 @@ def build_oracle_index(corpus: pd.DataFrame, min_df: int = 1) -> OracleIndex:
         docids[row.docno] = f"{row.repo}/{row.path}@{row.commit}"
         for term, pos in tp.items():
             postings.setdefault(term, []).append((row.docno, len(pos)))
+            positions.setdefault(term, {})[int(row.docno)] = pos
 
     stats = {t: (len(pl), sum(tf for _, tf in pl)) for t, pl in postings.items()}
     kept = {t: s for t, s in stats.items() if s[0] >= min_df}
@@ -68,6 +71,7 @@ def build_oracle_index(corpus: pd.DataFrame, min_df: int = 1) -> OracleIndex:
         t: (i + 1, dfcf[0], dfcf[1]) for i, (t, dfcf) in enumerate(ordered)
     }
     postings = {t: sorted(pl) for t, pl in postings.items() if t in dictionary}
+    positions = {t: p for t, p in positions.items() if t in dictionary}
     clen = sum(doclens.values())
     n = len(df)
     return OracleIndex(
@@ -78,6 +82,7 @@ def build_oracle_index(corpus: pd.DataFrame, min_df: int = 1) -> OracleIndex:
         doclens=doclens,
         dictionary=dictionary,
         postings=postings,
+        positions=positions,
     )
 
 

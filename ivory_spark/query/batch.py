@@ -1,0 +1,111 @@
+"""Batch query running: Ivory-format query sources and the TREC run sink.
+
+Reference behavior reproduced:
+- query XML source: <parameters><query id="601">text</query>...</parameters>
+  (data/trec/queries.robust04.xml; parsed at
+  ivory/smrf/retrieval/BatchQueryRunner.java:283-306);
+- model XML: <model id=...> selects scoring function + params
+  (BatchQueryRunner.java:330+, run.robust04.basic.xml) — here a small
+  dataclass, since our models are bag-of-words scoring-function choices;
+- TREC run sink: lines "qid Q0 docid rank score tag"
+  (BatchQueryRunner.java:214-240, core/util/ResultWriter.java), with
+  ranks 1-based in score order.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import xml.etree.ElementTree as ET
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def parse_query_xml(path_or_text: str) -> list[dict]:
+    """Parse Ivory's <parameters><query id=...>text</query> format."""
+    text = path_or_text
+    if not path_or_text.lstrip().startswith("<"):
+        with open(path_or_text) as f:
+            text = f.read()
+    root = ET.fromstring(text)
+    out = []
+    for q in root.iter("query"):
+        out.append({"qid": q.attrib["id"], "query": (q.text or "").strip()})
+    return out
+
+
+def parse_query_jsonl(path: str) -> list[dict]:
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                d = json.loads(line)
+                out.append({"qid": str(d["qid"]), "query": d["query"]})
+    return out
+
+
+@dataclass
+class Model:
+    """Bag-of-words retrieval model spec (the MVP subset of Ivory's
+    <model> XML: scoring function + its parameters)."""
+
+    scorer: str = "bm25"  # bm25 | dirichlet | jm | tfidf | f2exp
+    params: dict = field(default_factory=dict)
+    k: int = 10
+
+
+def parse_model_xml(path_or_text: str) -> Model:
+    """<model id=".." score="bm25" k1="1.2" b="0.75" hits="10"/>"""
+    text = path_or_text
+    if not path_or_text.lstrip().startswith("<"):
+        with open(path_or_text) as f:
+            text = f.read()
+    root = ET.fromstring(text)
+    node = root if root.tag == "model" else next(root.iter("model"))
+    attrs = dict(node.attrib)
+    scorer = attrs.pop("score", attrs.pop("scorer", "bm25"))
+    k = int(attrs.pop("hits", attrs.pop("k", "10")))
+    attrs.pop("id", None)
+    params = {a: float(v) for a, v in attrs.items()}
+    return Model(scorer=scorer, params=params, k=k)
+
+
+def write_trec_run(results: DataFrame, path: str, tag: str = "ivory_spark") -> int:
+    """Write 'qid Q0 docid rank score tag' lines; .gz suffix → gzip.
+    Results must have (qid, rank, docid, score). Returns line count.
+
+    Collects to the driver — TREC runs are k·|queries| rows by
+    construction, never data-scale."""
+    rows = results.select("qid", "rank", "docid", "score").orderBy("qid", "rank").collect()
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "wt") as f:
+        for r in rows:
+            f.write(f"{r['qid']} Q0 {r['docid']} {r['rank']} {r['score']:.6f} {tag}\n")
+    return len(rows)
+
+
+def run_batch(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    model: Model | None = None,
+    use_wand: bool = True,
+) -> DataFrame:
+    """End-to-end batch retrieval with a model spec (RunQueryLocal
+    analogue). Only bm25 has the WAND fast path; other scorers use the
+    exact relational plan."""
+    model = model or Model()
+    if model.scorer == "bm25":
+        if use_wand:
+            from ivory_spark.query.wand import bm25_topk_wand
+
+            return bm25_topk_wand(spark, index, queries, k=model.k)
+        from ivory_spark.query.exact import bm25_topk
+
+        return bm25_topk(spark, index, queries, k=model.k)
+    raise NotImplementedError(
+        f"engine-native scorer '{model.scorer}' not yet wired; "
+        "use ops.ir_relational for dirichlet/tfidf relational paths"
+    )

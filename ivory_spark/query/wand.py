@@ -190,10 +190,12 @@ def bm25_topk_wand(
     if not termids:
         return spark.createDataFrame([], schema)
 
-    # df comes from the postings rows; drop qt's copy to avoid ambiguity
-    runs = candidate_postings(index, termids).join(
-        F.broadcast(qt.select("qid", "termid", "qtf")), "termid"
-    )
+    # df comes from the postings rows; drop qt's copy to avoid ambiguity.
+    # Project only WAND's columns — a positional index's pos_blob must be
+    # column-pruned out of the scan and never shuffled here.
+    runs = candidate_postings(index, termids).select(
+        "termid", "df", "n", "first_docno", "last_docno", "max_impact", "blob"
+    ).join(F.broadcast(qt.select("qid", "termid", "qtf")), "termid")
     shard_of = lambda c: F.floor(c * F.lit(n_shards) / F.lit(n_docs + 1)).cast("int")
     runs = runs.withColumn(
         "shard", F.explode(F.sequence(shard_of(F.col("first_docno")), shard_of(F.col("last_docno"))))

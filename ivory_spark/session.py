@@ -49,6 +49,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # bench-scale inputs are tens of MB; the 128 MB/64 MB defaults for
+        # scan splits and AQE-coalesced shuffle partitions would collapse
+        # parallelism to 1-4 tasks regardless of core count. At real scale
+        # (100 TB) revert these to defaults via extra_conf.
+        .config("spark.sql.files.maxPartitionBytes", os.environ.get("IVORY_MAX_PARTITION_BYTES", "8m"))
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", os.environ.get("IVORY_ADVISORY_PARTITION_BYTES", "4m"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

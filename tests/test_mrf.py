@@ -1,0 +1,163 @@
+"""Positional index + MRF sequential/full dependence retrieval:
+window-count kernels against hand-computed goldens, positional codec
+round-trip, and Spark-vs-oracle rank identity (float32 bit-exact)."""
+
+import numpy as np
+import pytest
+
+from ivory_spark.index import codec
+from ivory_spark.index.build import IndexConfig, build_index
+from ivory_spark.index.reader import open_index
+from ivory_spark.oracle import build_oracle_index
+from ivory_spark.query.mrf import (
+    MrfModel,
+    FeatureSpec,
+    build_cliques,
+    count_ordered_matches,
+    count_unordered_matches,
+    mrf_topk,
+    oracle_mrf_topk,
+)
+
+MRF_QUERIES = [
+    {"qid": "m1", "query": "import class"},
+    {"qid": "m2", "query": "public static void"},
+    {"qid": "m3", "query": "def return"},
+    {"qid": "m4", "query": "zlib_handle buffer_overflow"},
+    {"qid": "m5", "query": "import"},  # single term → no proximity cliques
+]
+
+
+def A(*xs):
+    return np.array(xs, dtype=np.int64)
+
+
+def test_positions_codec_roundtrip():
+    plists = [A(1, 5, 9), A(2), A(3, 4, 5, 6)]
+    tfs = A(3, 1, 4)
+    blob = codec.encode_positions(np.concatenate(plists), tfs)
+    got = codec.decode_positions(blob, tfs)
+    for g, w in zip(got, plists):
+        assert np.array_equal(g, w)
+
+
+def test_positions_codec_empty():
+    assert codec.decode_positions(b"", A()) == []
+
+
+def test_ordered_window_adjacent():
+    # "a b" adjacent: a@1, b@2 → one match at gap 1
+    assert count_ordered_matches([A(1), A(2)], 1) == 1
+    # reversed order only → no ordered match
+    assert count_ordered_matches([A(2), A(1)], 1) == 0
+    # gap 2 with width 1 → no; width 2 → yes
+    assert count_ordered_matches([A(1), A(3)], 1) == 0
+    assert count_ordered_matches([A(1), A(3)], 2) == 1
+    # multiple occurrences: a@1,a@4; b@2,b@5 → 2 adjacent matches
+    assert count_ordered_matches([A(1, 4), A(2, 5)], 1) == 2
+
+
+def test_ordered_window_three_terms():
+    # strict order a<b<c adjacent
+    assert count_ordered_matches([A(1), A(2), A(3)], 1) == 1
+    assert count_ordered_matches([A(1), A(3), A(2)], 1) == 0
+
+
+def test_unordered_window():
+    # both within window of 2 regardless of order
+    assert count_unordered_matches([A(1), A(2)], 2) == 1
+    assert count_unordered_matches([A(2), A(1)], 2) == 1
+    assert count_unordered_matches([A(1), A(4)], 2) == 0
+    assert count_unordered_matches([A(1), A(4)], 4) == 1
+    # empty list → 0
+    assert count_unordered_matches([A(), A(1)], 8) == 0
+
+
+def test_clique_generation_sd_fd():
+    sd = MrfModel(dependence="sd")
+    cl = build_cliques(["a", "b", "c"], sd)
+    kinds = [(c["kind"], c["terms"]) for c in cl]
+    assert kinds == [
+        ("term", ("a",)), ("term", ("b",)), ("term", ("c",)),
+        ("od", ("a", "b")), ("od", ("b", "c")),
+        ("uw", ("a", "b")), ("uw", ("b", "c")),
+    ]
+    assert cl[3]["window"] == 1 and cl[5]["window"] == 8  # uw: 2 terms * width 4
+
+    fd = MrfModel(dependence="fd")
+    clf = build_cliques(["a", "b", "c"], fd)
+    od = [c["terms"] for c in clf if c["kind"] == "od"]
+    uw = [c["terms"] for c in clf if c["kind"] == "uw"]
+    assert od == [("b", "c"), ("a", "b"), ("a", "b", "c")]  # enumeration order
+    assert uw == [("a", "c")]  # the only non-contiguous subset of 3
+
+
+def test_duplicate_token_cliques():
+    cl = build_cliques(["def", "def"], MrfModel(dependence="sd"))
+    assert [(c["kind"], c["terms"]) for c in cl] == [
+        ("term", ("def",)), ("term", ("def",)),
+        ("od", ("def", "def")), ("uw", ("def", "def")),
+    ]
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, tiny_corpus_path, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("idx") / "pos")
+    build_index(
+        spark, tiny_corpus_path, root,
+        IndexConfig(positional=True, salt_threshold=16, n_shards=5),
+    )
+    return open_index(spark, root)
+
+
+@pytest.fixture(scope="module")
+def pos_oracle(tiny_corpus):
+    return build_oracle_index(tiny_corpus.drop(columns=["sha256"]))
+
+
+def _assert_match(res_df, golden):
+    got = {}
+    for r in res_df.collect():
+        got.setdefault(r["qid"], []).append(r)
+    for qid, want in golden.items():
+        have = got.get(qid, [])
+        assert [h["docno"] for h in have] == [w["docno"] for w in want], qid
+        hb = np.array([h["score"] for h in have], dtype=np.float32).view(np.uint32)
+        wb = np.array([w["score"] for w in want], dtype=np.float32).view(np.uint32)
+        assert np.array_equal(hb, wb), qid
+
+
+def test_sd_rank_identity(spark, pos_index, pos_oracle):
+    model = MrfModel(dependence="sd")
+    golden = oracle_mrf_topk(pos_oracle, MRF_QUERIES, model)
+    _assert_match(mrf_topk(spark, pos_index, MRF_QUERIES, model), golden)
+
+
+def test_fd_rank_identity(spark, pos_index, pos_oracle):
+    model = MrfModel(dependence="fd", features=[
+        FeatureSpec("term", 0.8),
+        FeatureSpec("od", 0.1, width=4),
+        FeatureSpec("uw", 0.1, width=4),
+    ])
+    qs = [q for q in MRF_QUERIES if q["qid"] in ("m2", "m3")]
+    golden = oracle_mrf_topk(pos_oracle, qs, model)
+    _assert_match(mrf_topk(spark, pos_index, qs, model), golden)
+
+
+def test_sd_dirichlet_rank_identity(spark, pos_index, pos_oracle):
+    model = MrfModel(dependence="sd", features=[
+        FeatureSpec("term", 0.82, scorer="dirichlet", params={"mu": 1000.0}),
+        FeatureSpec("od", 0.09, width=1, scorer="dirichlet", params={"mu": 750.0}),
+        FeatureSpec("uw", 0.09, width=4, scorer="dirichlet", params={"mu": 750.0}),
+    ])
+    qs = MRF_QUERIES[:3]
+    golden = oracle_mrf_topk(pos_oracle, qs, model)
+    _assert_match(mrf_topk(spark, pos_index, qs, model), golden)
+
+
+def test_positional_flag_required(spark, tiny_corpus_path, tmp_path):
+    root = str(tmp_path / "nonpos")
+    build_index(spark, tiny_corpus_path, root, IndexConfig())
+    idx = open_index(spark, root)
+    with pytest.raises(ValueError, match="positional"):
+        mrf_topk(spark, idx, MRF_QUERIES[:1])
