@@ -75,10 +75,13 @@ def assign_sequential_ids(
     The sorted frame is persisted before counting: repartitionByRange
     samples range boundaries per job, so without pinning, the counting
     job and the assignment job could see different partitionings and
-    produce permuted ids.
+    produce permuted ids. The *input* is persisted too: the range
+    sampler otherwise re-runs the whole upstream plan (e.g. the dedup
+    aggregation) once for sampling and again for the shuffle.
     """
     cols = [F.col(c) for c in order_cols]
-    sorted_df = df.repartitionByRange(partitions, *cols).sortWithinPartitions(*cols)
+    src = df.persist()
+    sorted_df = src.repartitionByRange(partitions, *cols).sortWithinPartitions(*cols)
     with_pid = sorted_df.withColumn("_pid", F.spark_partition_id()).persist()
     counts = {r["_pid"]: r["cnt"] for r in with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     offsets = {}
@@ -105,7 +108,12 @@ def assign_sequential_ids(
             seen += n
             yield pdf
 
-    return with_pid.mapInPandas(add_ids, schema=out_schema), total, with_pid
+    class _Pinned:
+        def unpersist(self):
+            with_pid.unpersist()
+            src.unpersist()
+
+    return with_pid.mapInPandas(add_ids, schema=out_schema), total, _Pinned()
 
 
 def build_docmap(

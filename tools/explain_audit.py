@@ -59,12 +59,15 @@ def main() -> None:
     )
 
     docs = read_table(spark, "/root/testdata/sf0.001", "documents")
-    plan2 = captured_explain(IR.bm25_top10(spark, docs, IR.GATE_QUERIES))
+    bm25 = IR.bm25_top10(spark, docs, IR.GATE_QUERIES)
+    plan2 = captured_explain(bm25)
+    # codegen spans show as "*(n)" markers in the simple plan string
+    simple = bm25._jdf.queryExecution().executedPlan().toString()
     sections.append(("relational BM25 top-10", plan2))
     sections.append(
         ("plan checks",
          f"broadcast join present: {'BroadcastHashJoin' in plan2}\n"
-         f"whole-stage codegen present: {'WholeStageCodegen' in plan2}\n")
+         f"whole-stage codegen present: {'*(' in simple}\n")
     )
 
     text = "\n".join(f"## {t}\n\n```\n{b}\n```\n" for t, b in sections)
