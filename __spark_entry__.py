@@ -196,6 +196,27 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(synthesize_media(spark, _docs(spark, sf_dir)))
 
 
+def _engine_prf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback expansion + weighted retrieval (MRFExpander
+    analogue; rows-only — bit-exact goldens in tests/test_expansion.py)."""
+    from ivory_spark.index.build import IndexConfig, build_index
+    from ivory_spark.index.reader import open_index
+    from ivory_spark.query.exact import bm25_topk
+    from ivory_spark.query.expander import expand_queries
+
+    corpus = documents_as_corpus(spark, sf_dir)
+    tag = sf_dir.strip("/").replace("/", "_")
+    work = os.path.join(tempfile.gettempdir(), f"ivory_engine_{tag}")
+    corpus_path = os.path.join(work, "corpus.parquet")
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        corpus.write.mode("overwrite").parquet(corpus_path)
+    root = os.path.join(work, "index")
+    build_index(spark, corpus_path, root, IndexConfig())
+    index = open_index(spark, root)
+    wq = expand_queries(spark, index, IR.GATE_QUERIES, fb_docs=5, fb_terms=8)
+    return bm25_topk(spark, index, wq, k=10, weighted=True)
+
+
 def _ann_queries(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     return emb, SIM.query_vectors(spark, emb, n=10)
@@ -235,6 +256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- engine-native (float32 kernels; pytest-verified, rows-only here)
         "engine_bm25_top10": _engine_bm25_top10,
         "engine_sd_top10": _engine_sd_top10,
+        "engine_prf_top10": _engine_prf_top10,
         "multimodal_features": _multimodal_features,
     }
 

