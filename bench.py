@@ -77,6 +77,28 @@ def main() -> None:
     timings["wand_topk_batch15"] = round(wand_sec, 3)
     per_query_ms = wand_sec / len(QUERY_SET) * 1000
 
+    # single-query latency (includes Spark scheduling floor) — the
+    # SmallAdaptiveRanker-style per-query measurement, cold-plan per call
+    singles = []
+    for q in QUERY_SET[:5]:
+        t0 = time.monotonic()
+        bm25_topk_wand(spark, index, [q], k=10).collect()
+        singles.append(time.monotonic() - t0)
+    singles.sort()
+    single_p50_ms = round(singles[len(singles) // 2] * 1000, 1)
+    single_max_ms = round(singles[-1] * 1000, 1)
+
+    # index size accounting (compression story)
+    def du(path):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path) for f in fs
+        )
+
+    corpus_bytes = du(corpus_dir)
+    postings_bytes = du(os.path.join(index_root, "postings"))
+    index_bytes = du(index_root)
+
     # --- gate queries over the sf dir tables ------------------------------
     docs = read_table(spark, sf_dir, "documents")
     gate = {
@@ -113,6 +135,11 @@ def main() -> None:
         "bm25_query_ms": round(per_query_ms, 2),
         "cpus": cpus,
         "topk_rows": len(n_rows),
+        "single_query_p50_ms": single_p50_ms,
+        "single_query_max_ms": single_max_ms,
+        "corpus_bytes": corpus_bytes,
+        "postings_bytes": postings_bytes,
+        "index_bytes_total": index_bytes,
     }
     print(json.dumps(out))
 
