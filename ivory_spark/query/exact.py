@@ -27,28 +27,50 @@ from ivory_spark.index import codec
 from ivory_spark.index.reader import Index
 
 
-def query_term_table(
-    spark: SparkSession, index: Index, queries: list[dict]
-) -> DataFrame:
-    """(qid, termid, qtf, df) for all in-dictionary query terms.
+def query_term_rows(
+    index: Index, queries: list[dict]
+) -> tuple[list[tuple], list[int]]:
+    """Driver-side query-term resolution: one dictionary-lookup job per
+    BATCH (not per query, not per term — the analogue of Ivory keeping
+    the dictionary in RAM, RetrievalEnvironment.java:66-67).
+    Returns ([(qid, termid, qtf, df), ...], sorted unique termids).
 
     Query strings are tokenized with the *same* tokenizer as indexing
     (RetrievalEnvironment.java:136-152,403-405); duplicate query tokens
     fold into a qtf weight (TermCliqueSet.java:62-79 — duplicate cliques
-    multiply the term's contribution).
-    """
-    rows = []
+    multiply the term's contribution)."""
+    per_q = []
+    terms = set()
     for q in queries:
-        for term, qtf in sorted(Counter(tokenize_py(q["query"])).items()):
-            rows.append((q["qid"], term, int(qtf)))
-    if not rows:
-        return spark.createDataFrame([], "qid string, termid long, qtf int, df int")
-    qt = spark.createDataFrame(rows, "qid string, term string, qtf int")
-    terms = sorted({r[1] for r in rows})
-    dict_rows = index.dictionary.filter(F.col("term").isin(terms)).select(
-        "term", "termid", "df"
-    )
-    return qt.join(F.broadcast(dict_rows), "term").select("qid", "termid", "qtf", "df")
+        counts = sorted(Counter(tokenize_py(q["query"])).items())
+        per_q.append((q["qid"], counts))
+        terms.update(t for t, _ in counts)
+    if not terms:
+        return [], []
+    lookup = {
+        r["term"]: (r["termid"], r["df"])
+        for r in index.dictionary.filter(F.col("term").isin(sorted(terms)))
+        .select("term", "termid", "df")
+        .collect()
+    }
+    rows = []
+    termids = set()
+    for qid, counts in per_q:
+        for term, qtf in counts:
+            meta = lookup.get(term)
+            if meta is None:
+                continue  # OOV
+            rows.append((qid, int(meta[0]), int(qtf), int(meta[1])))
+            termids.add(int(meta[0]))
+    return rows, sorted(termids)
+
+
+def query_term_table(
+    spark: SparkSession, index: Index, queries: list[dict]
+) -> DataFrame:
+    """(qid, termid, qtf, df) for all in-dictionary query terms."""
+    rows, _ = query_term_rows(index, queries)
+    return spark.createDataFrame(rows, "qid string, termid long, qtf int, df int")
 
 
 def candidate_postings(index: Index, termids: list[int]) -> DataFrame:
@@ -131,9 +153,10 @@ def bm25_topk(
 
     if weighted:
         qt = weighted_query_table(spark, index, queries)
+        termids = [r["termid"] for r in qt.select("termid").distinct().collect()]
     else:
-        qt = query_term_table(spark, index, queries)
-    termids = [r["termid"] for r in qt.select("termid").distinct().collect()]
+        rows, termids = query_term_rows(index, queries)
+        qt = spark.createDataFrame(rows, "qid string, termid long, qtf int, df int")
     if not termids:
         schema = "qid string, rank int, docno long, score float"
         if with_docid:

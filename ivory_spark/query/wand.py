@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ivory_spark.functions.scoring import F32, bm25_idf, bm25_tf_part, group_sum_f32
 from ivory_spark.index import codec
 from ivory_spark.index.reader import Index
-from ivory_spark.query.exact import candidate_postings, query_term_table
+from ivory_spark.query.exact import candidate_postings, query_term_rows
 
 SEGMENT_BATCH = 32  # segments scored per pruning-check round
 
@@ -182,8 +182,8 @@ def bm25_topk_wand(
     k1, b, idf_mode = props["k1"], props["b"], props["idf_mode"]
     n_shards = props["n_shards"]
 
-    qt = query_term_table(spark, index, queries)
-    termids = [r["termid"] for r in qt.select("termid").distinct().collect()]
+    rows, termids = query_term_rows(index, queries)
+    qt = spark.createDataFrame(rows, "qid string, termid long, qtf int, df int")
     schema = "qid string, rank int, docno long, score float"
     if with_docid:
         schema = "qid string, rank int, docno long, docid string, score float"
