@@ -268,10 +268,16 @@ def mrf_topk(
     queries: list[dict],
     model: MrfModel | None = None,
     with_docid: bool = True,
+    candidates: dict[str, set[int]] | None = None,
 ) -> DataFrame:
     """Exact SD/FD retrieval over a positional index: doc-sharded kernel
     (same shard grid as WAND), per-doc clique scoring, global top-k with
-    the (score desc, docno desc) tie-break."""
+    the (score desc, docno desc) tie-break.
+
+    candidates: optional qid -> docno set; when given, only those docs
+    are scored (the cascade-ranking reranker contract — an expensive
+    stage applied to a cheap stage's survivors,
+    ivory/cascade/retrieval/CascadeEval.java)."""
     model = model or MrfModel()
     props = index.properties
     if not props.get("positional"):
@@ -339,8 +345,11 @@ def mrf_topk(
                 dn = int(d64[i])
                 docs.setdefault(dn, {})[term] = (int(tfs[i]), plists[i])
                 dls[dn] = int(dl_arr[i])
+        cand_set = candidates.get(qid) if candidates is not None else None
         rows = []
         for dn, dterms in docs.items():
+            if cand_set is not None and dn not in cand_set:
+                continue
             s = score_doc(cliques, dterms, dls[dn], stats, n_docs, avgdl, clen)
             rows.append((qid, dn, float(s)))
         out = pd.DataFrame(rows, columns=["qid", "docno", "score"])
@@ -365,7 +374,8 @@ def mrf_topk(
 
 
 def oracle_mrf_topk(
-    oracle_index, queries: list[dict], model: MrfModel | None = None
+    oracle_index, queries: list[dict], model: MrfModel | None = None,
+    candidates: dict[str, set[int]] | None = None,
 ) -> dict[str, list[dict]]:
     """Same semantics over the single-node oracle index (which keeps full
     term->positions maps per doc)."""
@@ -380,6 +390,8 @@ def oracle_mrf_topk(
         cand: set[int] = set()
         for t in qterms:
             cand.update(d for d, _ in oi.postings[t])
+        if candidates is not None:
+            cand &= candidates.get(q["qid"], set())
         scored = []
         for dn in cand:
             dterms = {

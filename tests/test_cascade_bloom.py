@@ -1,0 +1,105 @@
+"""Cascade ranking (K5) and Bloom pre-filtering (E7/J6): staged pruning
+rank identity + relative-recall of the false-positive-tolerant AND."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ivory_spark.index.build import IndexConfig, build_index
+from ivory_spark.index.reader import open_index
+from ivory_spark.oracle import build_oracle_index
+from ivory_spark.ops.bloom import (
+    bloom_from_docnos,
+    bloom_test,
+    build_bloom_signatures,
+    conjunctive_candidates_bloom,
+)
+from ivory_spark.query.cascade import cascade_topk, oracle_cascade_topk
+from ivory_spark.query.mrf import MrfModel
+
+QS = [
+    {"qid": "c1", "query": "import class return"},
+    {"qid": "c2", "query": "public static void"},
+    {"qid": "c3", "query": "def return"},
+]
+
+
+@pytest.fixture(scope="module")
+def pos_idx(spark, tiny_corpus_path, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("idx") / "cascade")
+    build_index(
+        spark, tiny_corpus_path, root,
+        IndexConfig(positional=True, salt_threshold=16, n_shards=5),
+    )
+    return open_index(spark, root)
+
+
+@pytest.fixture(scope="module")
+def oi(tiny_corpus):
+    return build_oracle_index(tiny_corpus.drop(columns=["sha256"]))
+
+
+def test_cascade_rank_identity(spark, pos_idx, oi):
+    model = MrfModel(dependence="sd")
+    golden = oracle_cascade_topk(oi, QS, stage1_k=20, model=model)
+    res = cascade_topk(spark, pos_idx, QS, stage1_k=20, model=model)
+    got = {}
+    for r in res.collect():
+        got.setdefault(r["qid"], []).append(r)
+    for qid, want in golden.items():
+        have = got.get(qid, [])
+        assert [h["docno"] for h in have] == [w["docno"] for w in want], qid
+        hb = np.array([h["score"] for h in have], dtype=np.float32).view(np.uint32)
+        wb = np.array([w["score"] for w in want], dtype=np.float32).view(np.uint32)
+        assert np.array_equal(hb, wb), qid
+
+
+def test_cascade_prunes(spark, pos_idx, oi):
+    """A tight stage-1 budget must restrict stage-2's scored set."""
+    model = MrfModel(dependence="sd")
+    tight = oracle_cascade_topk(oi, QS[:1], stage1_k=3, model=model)
+    assert len(tight["c1"]) <= 3
+
+
+def test_bloom_unit():
+    docnos = np.array([3, 17, 999, 12345], dtype=np.uint64)
+    bm = bloom_from_docnos(docnos, bits=4096, k_hashes=3)
+    assert bloom_test(bm, docnos, 3).all()  # no false negatives, ever
+    others = np.arange(20000, 21000, dtype=np.uint64)
+    fp = bloom_test(bm, others, 3).mean()
+    assert fp < 0.05
+
+
+def test_bloom_conjunction_recall(spark, pos_idx):
+    from ivory_spark.ops.ir_relational import postings as _unused  # noqa: F401
+
+    terms = ["import", "class", "return"]
+    blooms = build_bloom_signatures(spark, pos_idx, bits=8192, k_hashes=3)
+    approx = {r["docno"] for r in conjunctive_candidates_bloom(
+        spark, pos_idx, blooms, terms
+    ).collect()}
+
+    # exact intersection from the index itself
+    tids = {r["term"]: r["termid"] for r in pos_idx.dictionary.filter(
+        F.col("term").isin(terms)).collect()}
+    from ivory_spark.query.exact import _decode_runs, candidate_postings
+
+    rows = _decode_runs(candidate_postings(pos_idx, list(tids.values()))).collect()
+    by_term = {}
+    for r in rows:
+        by_term.setdefault(r["termid"], set()).add(r["docno"])
+    exact = set.intersection(*(by_term.get(t, set()) for t in tids.values()))
+
+    # Bloom AND: superset of the truth (relative recall 1.0), bounded fps
+    assert exact <= approx
+    if approx:
+        fp_rate = (len(approx) - len(exact)) / len(approx)
+        assert fp_rate < 0.5
+
+
+def test_bloom_oov_term_empty(spark, pos_idx):
+    blooms = build_bloom_signatures(spark, pos_idx, bits=2048, k_hashes=2)
+    out = conjunctive_candidates_bloom(
+        spark, pos_idx, blooms, ["import", "nonexistent_token_xyzzy"]
+    )
+    assert out.count() == 0
