@@ -147,7 +147,9 @@ def build_index(
     """Run all stages (skipping valid checkpoints); returns properties."""
     cfg = config or IndexConfig()
     partitions = cfg.partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    fp = {"corpus": corpus_path, "conf": asdict(cfg)}
+    # codec format participates in the fingerprint: a codec upgrade must
+    # invalidate checkpointed postings rather than silently mis-decode
+    fp = {"corpus": corpus_path, "conf": asdict(cfg), "codec": codec.FORMAT_VERSION}
     os.makedirs(index_root, exist_ok=True)
 
     docmap_path = _p(index_root, "docmap")
@@ -239,7 +241,7 @@ def build_index(
                 "avgdl": (float(clen) / n_docs) if n_docs else 0.0,
                 "n_terms": int(n_terms),
                 **asdict(cfg),
-                "format_version": 1,
+                "format_version": codec.FORMAT_VERSION,
             }
             tmp = props_path + ".tmp"
             with open(tmp, "w") as f:

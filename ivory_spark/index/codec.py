@@ -36,9 +36,27 @@ from __future__ import annotations
 import numpy as np
 
 BLOCK = 128
+MIN_BLOCK = 8
+FORMAT_VERSION = 2  # v2: header block_size + directory first_docno
 
-_HDR = np.dtype([("n_postings", "<u4"), ("n_blocks", "<u4")])
-_DIR = np.dtype([("last_docno", "<u8"), ("max_impact", "<f4"), ("end", "<u4")])
+_HDR = np.dtype([("n_postings", "<u4"), ("n_blocks", "<u4"), ("block_size", "<u4")])
+
+
+def _block_size_for(n: int) -> int:
+    """Adaptive block size: short (sparse) runs get small blocks so each
+    block covers a narrow docno range — that is what makes per-block
+    max-impact bounds tight enough to prune (a sparse term's single
+    128-posting block would otherwise span a huge docno range and poison
+    every segment's bound)."""
+    if n >= BLOCK * 16:
+        return BLOCK
+    return max(MIN_BLOCK, n // 16 or MIN_BLOCK)
+# first_docno makes block-max bounds tight for sparse lists: a docno range
+# that falls BETWEEN two blocks provably contains no postings of the term,
+# so its segments get bound 0 instead of the next block's max impact
+_DIR = np.dtype(
+    [("first_docno", "<u8"), ("last_docno", "<u8"), ("max_impact", "<f4"), ("end", "<u4")]
+)
 
 
 def varint_encode(values: np.ndarray) -> np.ndarray:
@@ -88,10 +106,12 @@ def encode_run(
     docnos = np.asarray(docnos, dtype=np.uint64)
     if n > 1 and not (docnos[1:] > docnos[:-1]).all():
         raise ValueError("docnos must be strictly increasing within a run")
-    n_blocks = (n + BLOCK - 1) // BLOCK
+    bs = _block_size_for(n)
+    n_blocks = (n + bs - 1) // bs
     hdr = np.zeros(1, dtype=_HDR)
     hdr["n_postings"] = n
     hdr["n_blocks"] = n_blocks
+    hdr["block_size"] = bs
     if n == 0:
         return hdr.tobytes()
 
@@ -106,43 +126,43 @@ def encode_run(
     payloads: list[np.ndarray] = []
     off = 0
     for bi in range(n_blocks):
-        lo, hi = bi * BLOCK, min(n, (bi + 1) * BLOCK)
+        lo, hi = bi * bs, min(n, (bi + 1) * bs)
         payload = np.concatenate(
             [varint_encode(gaps[lo:hi]), varint_encode(tfs64[lo:hi]), varint_encode(dls64[lo:hi])]
         )
         off += payload.nbytes
-        directory[bi] = (docnos[hi - 1], imp[lo:hi].max(), off)
+        directory[bi] = (docnos[lo], docnos[hi - 1], imp[lo:hi].max(), off)
         payloads.append(payload)
     return hdr.tobytes() + directory.tobytes() + b"".join(p.tobytes() for p in payloads)
 
 
-def read_header(blob: bytes) -> tuple[int, int]:
+def read_header(blob: bytes) -> tuple[int, int, int]:
     hdr = np.frombuffer(blob, dtype=_HDR, count=1)[0]
-    return int(hdr["n_postings"]), int(hdr["n_blocks"])
+    return int(hdr["n_postings"]), int(hdr["n_blocks"]), int(hdr["block_size"])
 
 
 def read_directory(blob: bytes) -> np.ndarray:
     """Structured array (last_docno, max_impact, end) per block."""
-    _, n_blocks = read_header(blob)
+    _, n_blocks, _ = read_header(blob)
     return np.frombuffer(blob, dtype=_DIR, count=n_blocks, offset=_HDR.itemsize)
 
 
 def _payload(blob: bytes) -> np.ndarray:
-    _, n_blocks = read_header(blob)
+    _, n_blocks, _ = read_header(blob)
     off = _HDR.itemsize + n_blocks * _DIR.itemsize
     return np.frombuffer(blob, dtype=np.uint8, offset=off)
 
 
 def decode_run(blob: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Full decode -> (docnos uint64, tfs int32, dls int32)."""
-    n, n_blocks = read_header(blob)
+    n, n_blocks, bs = read_header(blob)
     if n == 0:
         z = np.empty(0, dtype=np.uint64)
         return z, z.astype(np.int32), z.astype(np.int32)
     vals = varint_decode(_payload(blob))
     # per-block sections: gaps, tfs, dls — reslice by block sizes
-    sizes = np.full(n_blocks, BLOCK, dtype=np.int64)
-    sizes[-1] = n - BLOCK * (n_blocks - 1)
+    sizes = np.full(n_blocks, bs, dtype=np.int64)
+    sizes[-1] = n - bs * (n_blocks - 1)
     docnos = np.empty(n, dtype=np.uint64)
     tfs = np.empty(n, dtype=np.int64)
     dls = np.empty(n, dtype=np.int64)
@@ -165,14 +185,14 @@ def decode_run(blob: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 def decode_block(blob: bytes, bi: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Random-access decode of block `bi` (block-aligned skipping,
     analogue of CompressedPostings.getBlockNumber/getBlockStartIndex)."""
-    n, n_blocks = read_header(blob)
+    n, n_blocks, bs = read_header(blob)
     if not 0 <= bi < n_blocks:
         raise IndexError(bi)
     directory = read_directory(blob)
     payload = _payload(blob)
     start = int(directory[bi - 1]["end"]) if bi > 0 else 0
     end = int(directory[bi]["end"])
-    sz = BLOCK if bi < n_blocks - 1 else n - BLOCK * (n_blocks - 1)
+    sz = bs if bi < n_blocks - 1 else n - bs * (n_blocks - 1)
     vals = varint_decode(payload[start:end])
     base = directory[bi - 1]["last_docno"] if bi > 0 else np.uint64(0)
     docnos = np.cumsum(vals[:sz], dtype=np.uint64) + base

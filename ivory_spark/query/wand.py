@@ -47,14 +47,16 @@ SEGMENT_BATCH = 32  # segments scored per pruning-check round
 
 def _score_group(
     pdf: pd.DataFrame, n_docs: int, avgdl: float, k1: float, b: float, idf_mode: str,
-    lo: int, hi: int, k: int,
+    lo: int, hi: int, k: int, stats: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Block-max WAND over one (qid, shard): returns (docnos, scores) top-k."""
+    """Block-max WAND over one (qid, shard): returns (docnos, scores) top-k.
+    stats (optional dict) receives {'segments': total, 'scored': visited} —
+    pruning instrumentation for tests/telemetry."""
     terms = []
     boundaries = [np.array([lo - 1], dtype=np.int64)]
     for row in pdf.itertuples(index=False):
         blob = bytes(row.blob)
-        n, n_blocks = codec.read_header(blob)
+        n, n_blocks, _bs = codec.read_header(blob)
         if n == 0:
             continue
         directory = codec.read_directory(blob)
@@ -73,6 +75,7 @@ def _score_group(
                 "idf": np.float32(idf),
                 "blob": blob,
                 "lasts": lasts,
+                "firsts": directory["first_docno"].astype(np.int64),
                 # per-block bound, clamped at 0: a doc missing this term
                 # contributes 0, which exceeds any negative bound — the
                 # block-level version of Ivory's maxScore >= 0 clamp
@@ -83,7 +86,13 @@ def _score_group(
                 "cache": {},
             }
         )
+        firsts = directory["first_docno"].astype(np.int64)
         boundaries.append(np.minimum(lasts[b_lo : b_hi + 1], hi))
+        # block FIRST docnos as boundaries too: segments falling between
+        # two blocks of a term become provably term-free (bound 0)
+        boundaries.append(
+            np.clip(firsts[b_lo : b_hi + 1] - 1, lo - 1, hi)
+        )
     if not terms:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
 
@@ -93,14 +102,18 @@ def _score_group(
     seg_end = bounds[1:]  # inclusive
     n_seg = len(seg_end)
 
-    # per-segment upper bound = sum over terms of covering block's ub
+    # per-segment upper bound = sum over terms of covering block's ub.
+    # A segment whose range ends before the covering block's first docno
+    # provably holds no postings of that term (directory stores per-block
+    # first_docno) — bound 0, which is what makes pruning effective for
+    # sparse lists on the static segment grid.
     seg_ub = np.zeros(n_seg, dtype=np.float64)
     seg_cov = np.zeros(n_seg, dtype=np.int32)  # terms whose run covers the segment
     term_block_of_seg = []
     for t in terms:
         bi = np.searchsorted(t["lasts"], seg_end)  # block covering each segment
-        valid = bi <= t["b_hi"]
         bi_c = np.clip(bi, t["b_lo"], t["b_hi"])
+        valid = (bi <= t["b_hi"]) & (seg_end >= t["firsts"][bi_c])
         ub = np.where(valid, t["ub"][bi_c], 0.0)
         term_block_of_seg.append((bi_c, valid))
         seg_ub += ub
@@ -117,6 +130,7 @@ def _score_group(
     theta = -np.inf
     theta_set = False  # pruning valid only once k docs have been scored
     pos = 0
+    n_scored = 0
     while pos < n_seg:
         if theta_set and seg_ub_adj[order[pos]] < theta:
             break  # all remaining segments bounded strictly below kth best
@@ -129,11 +143,32 @@ def _score_group(
             continue
         for si in batch:
             s_lo, s_hi = int(seg_start[si]), int(seg_end[si])
-            for ti, t in enumerate(terms):
-                bi_arr, valid_arr = term_block_of_seg[ti]
-                if not valid_arr[si]:
-                    continue
-                bi = int(bi_arr[si])
+            covering = [
+                (ti, float(terms[ti]["ub"][int(term_block_of_seg[ti][0][si])]))
+                for ti in range(len(terms))
+                if term_block_of_seg[ti][1][si]
+            ]
+            # MaxScore essential/non-essential split (the segment-level
+            # form of MRFDocumentRanker's term partitioning): a doc
+            # absent from every essential list is bounded by the sum of
+            # non-essential ubs < theta and cannot enter the top-k
+            if theta_set and len(covering) > 1:
+                covering.sort(key=lambda x: x[1])  # ub ascending
+                cum = 0.0
+                n_non_essential = 0
+                for _, u in covering:
+                    if (cum + u) * (1.0 + 1e-5) + 1e-12 < theta:
+                        cum += u
+                        n_non_essential += 1
+                    else:
+                        break
+                essential = [ti for ti, _ in covering[n_non_essential:]]
+            else:
+                essential = [ti for ti, _ in covering]
+
+            def seg_postings(ti):
+                t = terms[ti]
+                bi = int(term_block_of_seg[ti][0][si])
                 dec = t["cache"].get(bi)
                 if dec is None:
                     dec = codec.decode_block(t["blob"], bi)
@@ -141,13 +176,30 @@ def _score_group(
                 docnos, tfs, dls = dec
                 d64 = docnos.astype(np.int64)
                 m = (d64 > s_lo) & (d64 <= s_hi)
-                if not m.any():
+                return d64[m], tfs[m], dls[m]
+
+            cand_parts = [seg_postings(ti)[0] for ti in essential]
+            cands = (
+                np.unique(np.concatenate(cand_parts)) if cand_parts else
+                np.empty(0, dtype=np.int64)
+            )
+            if len(cands) == 0:
+                continue
+            n_scored += 1  # segments where full scoring actually ran
+            full_cover = len(essential) == len(covering)
+            for ti, _ub in covering:
+                t = terms[ti]
+                d64, tfs_m, dls_m = seg_postings(ti)
+                if not full_cover:
+                    keep = np.isin(d64, cands, assume_unique=False)
+                    d64, tfs_m, dls_m = d64[keep], tfs_m[keep], dls_m[keep]
+                if len(d64) == 0:
                     continue
                 contrib = t["qtf"] * (
-                    t["idf"] * bm25_tf_part(tfs[m], dls[m], avgdl, k1, b)
+                    t["idf"] * bm25_tf_part(tfs_m, dls_m, avgdl, k1, b)
                 )
-                all_docnos.append(d64[m])
-                all_termids.append(np.full(int(m.sum()), t["termid"], dtype=np.int64))
+                all_docnos.append(d64)
+                all_termids.append(np.full(len(d64), t["termid"], dtype=np.int64))
                 all_contribs.append(contrib)
         # update threshold from everything scored so far
         if all_docnos:
@@ -160,6 +212,9 @@ def _score_group(
                 theta = np.partition(s, len(s) - k)[len(s) - k]
                 theta_set = True
 
+    if stats is not None:
+        stats["segments"] = int(n_seg)
+        stats["scored"] = int(n_scored)
     if not all_docnos:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
     d, s = group_sum_f32(

@@ -69,8 +69,8 @@ def test_block_random_access():
     tfs = (np.arange(n) % 9) + 1
     dls = np.full(n, 40)
     blob = codec.encode_run(docnos, tfs, dls, tfs.astype(np.float32))
-    npost, nblocks = codec.read_header(blob)
-    assert npost == n and nblocks == 3
+    npost, nblocks, bs = codec.read_header(blob)
+    assert npost == n and nblocks == (n + bs - 1) // bs
     got_d, got_t, got_l = [], [], []
     for bi in range(nblocks):
         d, t, l = codec.decode_block(blob, bi)
@@ -89,11 +89,14 @@ def test_directory_block_max():
     dls = np.full(n, 10)
     impacts = np.arange(n, dtype=np.float32)
     blob = codec.encode_run(docnos, tfs, dls, impacts)
+    _, _, bs = codec.read_header(blob)
     directory = codec.read_directory(blob)
-    assert directory[0]["max_impact"] == np.float32(127.0)
-    assert directory[1]["max_impact"] == np.float32(199.0)
-    assert directory[0]["last_docno"] == 128
-    assert directory[1]["last_docno"] == 200
+    # per-block maxima of an increasing impact sequence = block tails
+    assert directory[0]["max_impact"] == np.float32(bs - 1)
+    assert directory[-1]["max_impact"] == np.float32(199.0)
+    assert directory[0]["first_docno"] == 1
+    assert directory[0]["last_docno"] == bs
+    assert directory[-1]["last_docno"] == 200
 
 
 def test_merge_salted_runs_byte_identical():

@@ -38,7 +38,7 @@ def test_codec_roundtrip_random(run):
     assert np.array_equal(t, tfs)
     assert np.array_equal(l, dls)
     # block random access agrees with full decode
-    _, n_blocks = codec.read_header(blob)
+    _, n_blocks, _ = codec.read_header(blob)
     pieces = [codec.decode_block(blob, bi)[0] for bi in range(n_blocks)]
     assert np.array_equal(np.concatenate(pieces), docnos)
     # directory invariants: last_docno per block, max impact is a max
