@@ -1,0 +1,68 @@
+"""spark-submit entry point: batch retrieval against a built index.
+
+Usage:
+  spark-submit --py-files ivory_spark.zip tools/run_query.py \
+      --index-root /path/index --queries queries.xml|queries.jsonl \
+      [--model sd|fd|bm25] [--k 10] [--scorer exact|wand] \
+      [--output run.txt[.gz]] [--tag ivory_spark]
+
+(The analogue of Ivory's RunQueryLocal / BatchQueryRunner,
+smrf/retrieval/RunQueryLocal.java:55-68.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--index-root", required=True)
+    p.add_argument("--queries", required=True, help=".xml (Ivory format) or .jsonl")
+    p.add_argument("--model", default="bm25", choices=["bm25", "sd", "fd"])
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--scorer", default="wand", choices=["wand", "exact"])
+    p.add_argument("--output", default=None, help="TREC run file (.gz ok)")
+    p.add_argument("--tag", default="ivory_spark")
+    args = p.parse_args()
+
+    from ivory_spark.index.reader import open_index
+    from ivory_spark.query.batch import parse_query_jsonl, parse_query_xml, write_trec_run
+    from ivory_spark.session import get_spark
+
+    spark = get_spark("ivory-query")
+    index = open_index(spark, args.index_root)
+    queries = (
+        parse_query_xml(args.queries)
+        if args.queries.endswith(".xml")
+        else parse_query_jsonl(args.queries)
+    )
+
+    if args.model == "bm25":
+        if args.scorer == "wand":
+            from ivory_spark.query.wand import bm25_topk_wand
+
+            res = bm25_topk_wand(spark, index, queries, k=args.k)
+        else:
+            from ivory_spark.query.exact import bm25_topk
+
+            res = bm25_topk(spark, index, queries, k=args.k)
+    else:
+        from ivory_spark.query.mrf import MrfModel, mrf_topk
+
+        res = mrf_topk(spark, index, queries, MrfModel(dependence=args.model, k=args.k))
+
+    if args.output:
+        n = write_trec_run(res, args.output, tag=args.tag)
+        print(f"wrote {n} result lines to {args.output}")
+    else:
+        for r in res.collect():
+            print(f"{r['qid']} Q0 {r['docid']} {r['rank']} {r['score']:.6f} {args.tag}")
+
+
+if __name__ == "__main__":
+    main()
