@@ -159,14 +159,53 @@ def simhash(
 
 
 def simhash_pairs(
-    sims: DataFrame, max_hamming: int = 2, id_col: str = "doc_id"
+    sims: DataFrame,
+    max_hamming: int = 2,
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Pairs within Hamming distance (small-table self-join; at scale,
-    block by bit-bands first, same trick as minhash banding)."""
-    a = sims.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("ha"))
-    b = sims.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("hb"))
+    """Pairs within Hamming distance via EXACT pigeonhole bit-band
+    blocking: split the fingerprint into (max_hamming + 1) bit bands —
+    any pair at distance <= max_hamming must agree exactly on at least
+    one band — equi-join candidates per band, then verify the true
+    Hamming distance. Same output as an all-pairs scan, but the plan is
+    a keyed shuffle join (no BroadcastNestedLoopJoin), linear-ish in the
+    absence of fingerprint skew. This is the multi-index Hamming trick
+    the reference's sliding-window pwsim approximates
+    (ivory/lsh/pwsim/cl/CLSlidingWindowPwsim.java:50-367).
+
+    max_bucket: optional skew guard — drop band buckets larger than this
+    before the self-join (costs recall for docs whose every band is hot;
+    None = exact, use for oracle checks)."""
+    n_bands = max_hamming + 1
+    base, rem = divmod(bits, n_bands)
+    bands = None
+    off = 0
+    for i in range(n_bands):
+        w = base + (1 if i < rem else 0)
+        key = F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit((1 << w) - 1))
+        part = sims.select(F.col(id_col), F.lit(i).alias("band"), key.alias("bkey"))
+        bands = part if bands is None else bands.unionByName(part)
+        off += w
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        cnt = F.count(F.lit(1)).over(Window.partitionBy("band", "bkey"))
+        bands = bands.withColumn("_bc", cnt).filter(F.col("_bc") <= max_bucket).drop("_bc")
+    a = bands.select("band", "bkey", F.col(id_col).alias("doc_a"))
+    b = bands.select("band", "bkey", F.col(id_col).alias("doc_b"))
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sims.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("ha"))
+    sb = sims.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("hb"))
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
@@ -185,21 +224,53 @@ def ngram_shingles(text: Column, n: int = 3) -> Column:
 def ngram_jaccard_pairs(
     docs: DataFrame, n: int = 3, threshold: float = 0.5,
     id_col: str = "doc_id", text_col: str = "text",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shingle equi-join:
     candidates = pairs sharing >= 1 shingle (inverted-index join, the
-    IR-flavored alternative to a cross product), then exact verify."""
+    IR-flavored alternative to a cross product), then exact verify.
+
+    max_shingle_df: skew guard for production runs — shingles appearing
+    in more than this many docs are dropped from CANDIDATE GENERATION
+    only (a boilerplate shingle shared by s docs contributes s^2/2
+    candidate pairs; one hot shingle can dominate the job — the same
+    guard minhash banding has via max_bucket). The Jaccard itself is
+    still computed over the full shingle sets, so scores are unchanged;
+    only pairs whose *every* common shingle is hot can be missed.
+    None = exact (use for oracle checks)."""
     sh = docs.select(F.col(id_col), ngram_shingles(F.col(text_col), n).alias("sh"))
     sh = sh.withColumn("nsh", F.size("sh"))
     ex = sh.select(F.col(id_col), "nsh", F.explode("sh").alias("g"))
-    a = ex.select(F.col(id_col).alias("doc_a"), F.col("nsh").alias("na"), "g")
-    b = ex.select(F.col(id_col).alias("doc_b"), F.col("nsh").alias("nb"), "g")
-    inter = (
-        a.join(b, "g")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    if max_shingle_df is not None:
+        # cap applies to candidate generation; verification below uses the
+        # FULL shingle sets so surviving pairs score identically
+        from pyspark.sql import Window
+
+        cnt = F.count(F.lit(1)).over(Window.partitionBy("g"))
+        capped = ex.withColumn("_gc", cnt).filter(F.col("_gc") <= max_shingle_df)
+        cands = (
+            capped.select(F.col(id_col).alias("doc_a"), "g")
+            .join(capped.select(F.col(id_col).alias("doc_b"), "g"), "g")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        sa = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sha"), F.col("nsh").alias("na"))
+        sb = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("shb"), F.col("nsh").alias("nb"))
+        inter = (
+            cands.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("inter", F.size(F.array_intersect("sha", "shb")))
+            .select("doc_a", "doc_b", "na", "nb", "inter")
+        )
+    else:
+        a = ex.select(F.col(id_col).alias("doc_a"), F.col("nsh").alias("na"), "g")
+        b = ex.select(F.col(id_col).alias("doc_b"), F.col("nsh").alias("nb"), "g")
+        inter = (
+            a.join(b, "g")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b", "na", "nb")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     return (
         inter.withColumn(
             "jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6)
@@ -210,25 +281,68 @@ def ngram_jaccard_pairs(
 
 
 def embedding_neardup_pairs(
-    emb: DataFrame, threshold: float = 0.98, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    threshold: float = 0.98,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 16,
 ) -> DataFrame:
-    """Cosine near-duplicate pairs over an embedding column. Exact
-    (self-join); at scale bucket by LSH hyperplanes first."""
-    def cos(va: Column, vb: Column) -> Column:
-        dot = F.aggregate(
-            F.zip_with(va, vb, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        na = F.sqrt(F.aggregate(va, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
-        nb = F.sqrt(F.aggregate(vb, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
-        return dot / (na * nb)
+    """EXACT cosine near-duplicate pairs via a block-replicated equi-join.
+
+    Each vector lands in block (id % n_blocks); the left side is
+    replicated once per target block and joined on block id — a plain
+    shuffle equi-join, so Catalyst never falls back to a
+    BroadcastNestedLoopJoin, and the O(n^2) pair evaluations split into
+    n_blocks independent shuffle partitions that scale out. Exact
+    all-pairs is inherently quadratic; at 100 TB use
+    embedding_neardup_pairs_lsh (SRP buckets, approximate) and reserve
+    this for verification samples.
+    """
+    from ivory_spark.ops.similarity import cosine_expr
 
     a = emb.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
+    a = a.withColumn("blk", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))))
+    b = emb.select(
+        F.col(id_col).alias("doc_b"),
+        F.col(vec_col).alias("vb"),
+        (F.col(id_col) % n_blocks).cast("int").alias("blk"),
+    )
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .withColumn("cosine", F.round(cos(F.col("va"), F.col("vb")), 6))
+        a.join(b, "blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", "cosine")
+    )
+
+
+def embedding_neardup_pairs_lsh(
+    emb: DataFrame,
+    threshold: float = 0.98,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Approximate cosine near-dup pairs: sign-random-projection buckets
+    generate candidates (equi-join; multiprobe expands each vector to the
+    buckets within Hamming distance `multiprobe` of its own, lifting
+    recall), then exact cosine verification. The linear-ish 100-TB path;
+    recall vs the exact plan is asserted in tests."""
+    from ivory_spark.ops.similarity import cosine_expr, probe_buckets_expr, rademacher_planes
+
+    planes = rademacher_planes(dim, n_planes)
+    e = emb.withColumn(
+        "bucket", F.explode(probe_buckets_expr(F.col(vec_col), planes, multiprobe))
+    )
+    a = e.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"), "bucket")
+    b = e.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("doc_a", "doc_b", "cosine")
     )

@@ -87,6 +87,20 @@ def decode_features(media: DataFrame) -> DataFrame:
     )
 
 
+def explode_features(features: DataFrame, round_dp: int = 6) -> DataFrame:
+    """Gate/audit shape: one row per (media_id, dim) with the feature as a
+    rounded scalar double — arrays are unhashable for sorted comparisons,
+    so the correctness gate consumes this exploded form. The float32
+    feature is promoted to double (exact) before rounding, which an
+    independent SQL engine can reproduce bit-for-bit."""
+    return features.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.posexplode("features").alias("dim", "feature"),
+    ).withColumn("feature", F.round(F.col("feature").cast("double"), round_dp))
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one row per frame timestamp to decode
     (JVM-side sequence explode); the decode itself is the stubbed step."""

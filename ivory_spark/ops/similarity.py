@@ -58,13 +58,27 @@ def brute_force_topk(
     )
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
-    rng = np.random.RandomState(seed)
-    return rng.normal(size=(n_planes, dim)).astype(np.float64)
+def rademacher_planes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    """±1 (Rademacher) SRP hyperplanes derived from md5, so an
+    independent SQL engine can rebuild the identical planes and bucket
+    assignment for the correctness gate (same portability rationale as
+    dedup.portable_hash). Rademacher projections preserve the SRP
+    collision-probability guarantee (1 - angle/pi)."""
+    import hashlib
+
+    out = np.empty((n_planes, dim), dtype=np.float64)
+    for b in range(n_planes):
+        for d in range(dim):
+            h = hashlib.md5(f"plane:{seed}:{b}:{d}".encode()).hexdigest()
+            out[b, d] = 1.0 if (int(h[0], 16) & 1) else -1.0
+    return out
 
 
 def srp_bucket_expr(vec: Column, planes: np.ndarray) -> Column:
-    """Sign-random-projection bucket id: bit b = sign(vec · plane_b)."""
+    """Sign-random-projection bucket id: bit b = sign(vec · plane_b).
+    The dot product is an ordered left fold over dimensions (F.aggregate)
+    so DuckDB's list_reduce reproduces the same rounding, hence the same
+    sign at the bucket boundary."""
     bits = []
     for bidx, plane in enumerate(planes):
         arr = F.array(*[F.lit(float(x)) for x in plane])
@@ -77,6 +91,23 @@ def srp_bucket_expr(vec: Column, planes: np.ndarray) -> Column:
     return sum(bits[1:], bits[0]).cast("int")
 
 
+def probe_buckets_expr(vec: Column, planes: np.ndarray, multiprobe: int = 1) -> Column:
+    """Array of bucket ids to probe: the vector's own bucket plus every
+    bucket within Hamming distance `multiprobe` of it (bit flips of the
+    SRP signature). Multiprobe trades one extra candidate join fan-out
+    for recall — the standard LSH recall lever that avoids building more
+    tables."""
+    from itertools import combinations
+
+    base = srp_bucket_expr(vec, planes)
+    n_planes = len(planes)
+    masks = [0]
+    for h in range(1, multiprobe + 1):
+        for bits in combinations(range(n_planes), h):
+            masks.append(sum(1 << b for b in bits))
+    return F.array(*[base.bitwiseXOR(F.lit(m)) for m in masks])
+
+
 def lsh_bucketed_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -87,14 +118,19 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     qid_col: str = "qid",
     qvec_col: str = "qvec",
+    multiprobe: int = 1,
 ) -> DataFrame:
-    """Approximate cosine top-k: candidates = same SRP bucket only.
-    At 100 TB the bucket equi-join replaces the cross product; recall is
-    tuned via n_planes (fewer planes → bigger buckets → higher recall)."""
-    planes = _hyperplanes(dim, n_planes)
+    """Approximate cosine top-k: candidates share an SRP bucket with the
+    query (query side multiprobes its Hamming-<=multiprobe neighbor
+    buckets for recall). At 100 TB the bucket equi-join replaces the
+    cross product; recall is tuned via n_planes and multiprobe."""
+    planes = rademacher_planes(dim, n_planes)
     e = emb.withColumn("bucket", srp_bucket_expr(F.col(vec_col), planes))
-    q = queries.withColumn("bucket", srp_bucket_expr(F.col(qvec_col), planes))
+    q = queries.withColumn(
+        "bucket", F.explode(probe_buckets_expr(F.col(qvec_col), planes, multiprobe))
+    )
     j = q.join(e, "bucket").filter(F.col(qid_col) != F.col(id_col))
+    j = j.dropDuplicates([qid_col, id_col])
     j = j.withColumn("cosine", F.round(cosine_expr(F.col(qvec_col), F.col(vec_col)), 6))
     w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (

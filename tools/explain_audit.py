@@ -70,6 +70,28 @@ def main() -> None:
          f"whole-stage codegen present: {'codegen id' in plan or 'codegen id' in plan2}\n")
     )
 
+    # dedup pair-generation plans must be keyed joins, never an all-pairs
+    # BroadcastNestedLoopJoin (VERDICT r01 "what's wrong" #2/#3)
+    from ivory_spark.ops import dedup as D
+
+    docs_small = docs.limit(50)
+    emb_small = read_table(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+    dedup_plans = {
+        "simhash_pairs": captured_explain(
+            D.simhash_pairs(D.simhash(docs_small), max_hamming=2)
+        ),
+        "embedding_neardup_pairs": captured_explain(
+            D.embedding_neardup_pairs(emb_small, threshold=0.3)
+        ),
+        "ngram_jaccard_pairs": captured_explain(D.ngram_jaccard_pairs(docs_small)),
+    }
+    ok_no_bnlj = True
+    for name, p in dedup_plans.items():
+        has = "BroadcastNestedLoopJoin" in p
+        ok_no_bnlj = ok_no_bnlj and not has
+        sections.append((f"dedup plan: {name}",
+                         f"BroadcastNestedLoopJoin present: {has}\n"))
+
     text = "\n".join(f"## {t}\n\n```\n{b}\n```\n" for t, b in sections)
     if out_md:
         with open(out_md, "w") as f:
@@ -77,6 +99,7 @@ def main() -> None:
     print(text[:4000])
     print("PUSHDOWN_OK" if ok_pushdown else "PUSHDOWN_MISSING")
     print("PRUNING_OK" if ok_pruned else "PRUNING_MISSING")
+    print("NO_BNLJ_OK" if ok_no_bnlj else "BNLJ_PRESENT")
 
 
 if __name__ == "__main__":
