@@ -135,6 +135,85 @@ def oracle_topk_weighted(
     return out
 
 
+def oracle_scored_topk(
+    oi: OracleIndex,
+    queries: list[dict],
+    scorer: str = "dirichlet",
+    params: dict | None = None,
+    k: int = 10,
+) -> dict[str, list[dict]]:
+    """Golden twin of query/exact.scored_topk: candidates = docs matching
+    >= 1 in-dictionary query term; LM scorers (dirichlet, jm) score every
+    query term per candidate (tf=0 background, as
+    DirichletScoringFunction.java:30-66 smoothes absent terms);
+    tf-proportional scorers (tfidf, f2exp) skip absent terms."""
+    from ivory_spark.functions.scoring import (
+        dirichlet_score,
+        f2exp_score,
+        jelinek_mercer_score,
+        tfidf_score,
+    )
+
+    params = params or {}
+    lm = scorer in ("dirichlet", "jm")
+    out: dict[str, list[dict]] = {}
+    for q in queries:
+        qterms = Counter(tokenize_py(q["query"]))
+        resolved = [
+            (t, qtf, *oi.dictionary[t])
+            for t, qtf in sorted(qterms.items())
+            if t in oi.dictionary
+        ]
+        cand = sorted({d for t, *_ in resolved for d, _ in oi.postings[t]})
+        docno_parts, termid_parts, contrib_parts = [], [], []
+        for term, qtf, termid, df, cf in resolved:
+            pl = dict(oi.postings[term])
+            if lm:
+                docnos = np.array(cand, dtype=np.int64)
+                tfs = np.array([pl.get(int(d), 0) for d in docnos], dtype=np.int64)
+            else:
+                docnos = np.array(sorted(pl), dtype=np.int64)
+                tfs = np.array([pl[int(d)] for d in docnos], dtype=np.int64)
+            dls = np.array([oi.doclens[int(d)] for d in docnos], dtype=np.int64)
+            if scorer == "dirichlet":
+                base = dirichlet_score(
+                    tfs, dls, np.full(len(docnos), cf), oi.collection_length,
+                    params.get("mu", 2500.0),
+                )
+            elif scorer == "jm":
+                base = jelinek_mercer_score(
+                    tfs, dls, np.full(len(docnos), cf), oi.collection_length,
+                    params.get("lambda", 0.5),
+                )
+            elif scorer == "tfidf":
+                base = tfidf_score(tfs, np.full(len(docnos), df), oi.n_docs)
+            elif scorer == "f2exp":
+                base = f2exp_score(
+                    tfs, dls, np.full(len(docnos), df), oi.n_docs, oi.avgdl,
+                    params.get("s", 0.5), params.get("k", 1.0),
+                )
+            else:
+                raise ValueError(scorer)
+            contrib = F32(qtf) * base
+            docno_parts.append(docnos)
+            termid_parts.append(np.full(len(docnos), termid, dtype=np.int64))
+            contrib_parts.append(contrib)
+        if not docno_parts:
+            out[q["qid"]] = []
+            continue
+        d, s = group_sum_f32(
+            np.concatenate(docno_parts),
+            np.concatenate(termid_parts),
+            np.concatenate(contrib_parts),
+        )
+        sel = np.lexsort((-d, -s.astype(np.float64)))[:k]
+        out[q["qid"]] = [
+            {"docno": int(d[i]), "docid": oi.docids[int(d[i])], "score": s[i]}
+            for i in sel
+        ]
+    return out
+
+
 def oracle_topk(
     oi: OracleIndex,
     queries: list[dict],

@@ -105,7 +105,11 @@ def run_batch(
         from ivory_spark.query.exact import bm25_topk
 
         return bm25_topk(spark, index, queries, k=model.k)
-    raise NotImplementedError(
-        f"engine-native scorer '{model.scorer}' not yet wired; "
-        "use ops.ir_relational for dirichlet/tfidf relational paths"
+    # dirichlet / jm / tfidf / f2exp: the generalized exact path.
+    # (Dirichlet/JM scores are negative so MaxScore bounds don't prune —
+    # no WAND variant; mirrors DirichletScoringFunction.java:30-66 etc.)
+    from ivory_spark.query.exact import scored_topk
+
+    return scored_topk(
+        spark, index, queries, scorer=model.scorer, params=model.params, k=model.k
     )

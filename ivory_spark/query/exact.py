@@ -38,7 +38,10 @@ def query_term_rows(
     Query strings are tokenized with the *same* tokenizer as indexing
     (RetrievalEnvironment.java:136-152,403-405); duplicate query tokens
     fold into a qtf weight (TermCliqueSet.java:62-79 — duplicate cliques
-    multiply the term's contribution)."""
+    multiply the term's contribution).
+
+    Rows are (qid, termid, qtf, df, cf) — cf is carried for the
+    language-model scorers (Dirichlet/JM background probabilities)."""
     per_q = []
     terms = set()
     for q in queries:
@@ -48,9 +51,9 @@ def query_term_rows(
     if not terms:
         return [], []
     lookup = {
-        r["term"]: (r["termid"], r["df"])
+        r["term"]: (r["termid"], r["df"], r["cf"])
         for r in index.dictionary.filter(F.col("term").isin(sorted(terms)))
-        .select("term", "termid", "df")
+        .select("term", "termid", "df", "cf")
         .collect()
     }
     rows = []
@@ -60,7 +63,7 @@ def query_term_rows(
             meta = lookup.get(term)
             if meta is None:
                 continue  # OOV
-            rows.append((qid, int(meta[0]), int(qtf), int(meta[1])))
+            rows.append((qid, int(meta[0]), int(qtf), int(meta[1]), int(meta[2])))
             termids.add(int(meta[0]))
     return rows, sorted(termids)
 
@@ -68,9 +71,11 @@ def query_term_rows(
 def query_term_table(
     spark: SparkSession, index: Index, queries: list[dict]
 ) -> DataFrame:
-    """(qid, termid, qtf, df) for all in-dictionary query terms."""
+    """(qid, termid, qtf, df, cf) for all in-dictionary query terms."""
     rows, _ = query_term_rows(index, queries)
-    return spark.createDataFrame(rows, "qid string, termid long, qtf int, df int")
+    return spark.createDataFrame(
+        rows, "qid string, termid long, qtf int, df int, cf long"
+    )
 
 
 def candidate_postings(index: Index, termids: list[int]) -> DataFrame:
@@ -156,7 +161,9 @@ def bm25_topk(
         termids = [r["termid"] for r in qt.select("termid").distinct().collect()]
     else:
         rows, termids = query_term_rows(index, queries)
-        qt = spark.createDataFrame(rows, "qid string, termid long, qtf int, df int")
+        qt = spark.createDataFrame(
+            rows, "qid string, termid long, qtf int, df int, cf long"
+        ).drop("cf")
     if not termids:
         schema = "qid string, rank int, docno long, score float"
         if with_docid:
@@ -173,21 +180,7 @@ def bm25_topk(
         return pd.Series(qtf.to_numpy().astype(np.float32) * base)
 
     cand = cand.withColumn("contrib", contrib_udf("tf", "dl", "df", "qtf"))
-
-    @F.pandas_udf("float")
-    def fold_udf(contribs: pd.Series) -> pd.Series:
-        # canonical float32 accumulation: already termid-sorted via sort_array
-        return pd.Series(
-            [f32_ordered_sum(np.asarray([c["contrib"] for c in arr], dtype=np.float32))
-             for arr in contribs]
-        )
-
-    scored = (
-        cand.groupBy("qid", "docno")
-        .agg(F.sort_array(F.collect_list(F.struct("termid", "contrib"))).alias("cs"))
-        .withColumn("score", fold_udf("cs"))
-        .drop("cs")
-    )
+    scored = _fold_scores(cand)
 
     if priors is not None:
         pw = np.float32(prior_weight)
@@ -204,6 +197,32 @@ def bm25_topk(
             .drop("prior")
         )
 
+    return _rank_topk(index, scored, k, with_docid)
+
+
+def _fold_scores(cand: DataFrame) -> DataFrame:
+    """(qid, docno, score): canonical termid-ordered float32 fold of the
+    per-term `contrib` column — the single accumulation rule every scorer
+    path shares (see functions/scoring.py module docstring)."""
+
+    @F.pandas_udf("float")
+    def fold_udf(contribs: pd.Series) -> pd.Series:
+        # canonical float32 accumulation: already termid-sorted via sort_array
+        return pd.Series(
+            [f32_ordered_sum(np.asarray([c["contrib"] for c in arr], dtype=np.float32))
+             for arr in contribs]
+        )
+
+    return (
+        cand.groupBy("qid", "docno")
+        .agg(F.sort_array(F.collect_list(F.struct("termid", "contrib"))).alias("cs"))
+        .withColumn("score", fold_udf("cs"))
+        .drop("cs")
+    )
+
+
+def _rank_topk(index: Index, scored: DataFrame, k: int, with_docid: bool) -> DataFrame:
+    """Window top-k with Ivory's tie-break (score desc, docno desc)."""
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.desc("docno"))
     topk = (
         scored.withColumn("rank", F.row_number().over(w))
@@ -213,3 +232,106 @@ def bm25_topk(
         topk = topk.join(index.docid_expr(), "docno")
     cols = ["qid", "rank", "docno"] + (["docid"] if with_docid else []) + ["score"]
     return topk.select(*cols).orderBy("qid", "rank")
+
+
+def scored_topk(
+    spark: SparkSession,
+    index: Index,
+    queries: list[dict],
+    scorer: str = "dirichlet",
+    params: dict | None = None,
+    k: int = 10,
+    with_docid: bool = True,
+) -> DataFrame:
+    """Engine-native bag-of-words retrieval for the non-BM25 scoring
+    functions, over the same postings-blob index as the BM25 paths.
+
+    Semantics mirror the reference's scoring-function family
+    (ivory/smrf/model/score/DirichletScoringFunction.java:30-66 µ=2500,
+    JelinekMercerScoringFunction.java λ=0.5, TFIDFScoringFunction.java,
+    F2EXPScoringFunction.java) run doc-at-a-time over the candidate set
+    (docs matching >= 1 query term, MRFDocumentRanker.java:113-184):
+
+    - language-model scorers (dirichlet, jm) score every query term for
+      every candidate — an absent term contributes its nonzero background
+      (tf=0 smoothing), which is doclen-dependent and rank-relevant;
+    - tf-proportional scorers (tfidf, f2exp) score only matching terms
+      (their tf=0 contribution is exactly zero).
+
+    Accumulation is the canonical termid-ordered float32 fold, so scores
+    are bit-identical to the numpy oracle and reproducible by the
+    float32-emulating DuckDB gate oracles. Dirichlet/JM scores are
+    negative, so MaxScore/WAND bounds don't apply — this is the exact
+    path (a bounded upper-bound transform is future work).
+    """
+    from ivory_spark.functions.scoring import (
+        dirichlet_score,
+        f2exp_score,
+        jelinek_mercer_score,
+        tfidf_score,
+    )
+
+    if scorer == "bm25":
+        return bm25_topk(spark, index, queries, k=k, with_docid=with_docid)
+    params = params or {}
+    props = index.properties
+    n_docs, avgdl, clen = props["n_docs"], props["avgdl"], props["collection_length"]
+
+    rows, termids = query_term_rows(index, queries)
+    qt = spark.createDataFrame(rows, "qid string, termid long, qtf int, df int, cf long")
+    if not termids:
+        schema = "qid string, rank int, docno long, score float"
+        if with_docid:
+            schema = "qid string, rank int, docno long, docid string, score float"
+        return spark.createDataFrame([], schema)
+
+    postings = _decode_runs(candidate_postings(index, termids))
+    if scorer in ("dirichlet", "jm"):
+        # full candidate x query-term matrix with tf=0 background rows
+        cands = postings.join(F.broadcast(qt), "termid").select("qid", "docno").distinct()
+        cand = (
+            cands.join(F.broadcast(qt), "qid")
+            .join(postings.select("termid", "docno", "tf"), ["termid", "docno"], "left")
+            .fillna({"tf": 0})
+            .join(index.doclens.withColumnRenamed("doclen", "dl"), "docno")
+        )
+        if scorer == "dirichlet":
+            mu = params.get("mu", 2500.0)
+
+            @F.pandas_udf("float")
+            def contrib_udf(tf: pd.Series, dl: pd.Series, cf: pd.Series, qtf: pd.Series) -> pd.Series:
+                base = dirichlet_score(tf.to_numpy(), dl.to_numpy(), cf.to_numpy(), clen, mu)
+                return pd.Series(qtf.to_numpy().astype(np.float32) * base)
+
+        else:
+            lam = params.get("lambda", 0.5)
+
+            @F.pandas_udf("float")
+            def contrib_udf(tf: pd.Series, dl: pd.Series, cf: pd.Series, qtf: pd.Series) -> pd.Series:
+                base = jelinek_mercer_score(tf.to_numpy(), dl.to_numpy(), cf.to_numpy(), clen, lam)
+                return pd.Series(qtf.to_numpy().astype(np.float32) * base)
+
+        cand = cand.withColumn("contrib", contrib_udf("tf", "dl", "cf", "qtf"))
+    elif scorer in ("tfidf", "f2exp"):
+        cand = postings.join(F.broadcast(qt), "termid")
+        if scorer == "tfidf":
+
+            @F.pandas_udf("float")
+            def contrib_udf(tf: pd.Series, dl: pd.Series, df: pd.Series, qtf: pd.Series) -> pd.Series:
+                base = tfidf_score(tf.to_numpy(), df.to_numpy(), n_docs)
+                return pd.Series(qtf.to_numpy().astype(np.float32) * base)
+
+        else:
+            s = params.get("s", 0.5)
+            k_exp = params.get("k", 1.0)
+
+            @F.pandas_udf("float")
+            def contrib_udf(tf: pd.Series, dl: pd.Series, df: pd.Series, qtf: pd.Series) -> pd.Series:
+                base = f2exp_score(tf.to_numpy(), dl.to_numpy(), df.to_numpy(), n_docs, avgdl, s, k_exp)
+                return pd.Series(qtf.to_numpy().astype(np.float32) * base)
+
+        cand = cand.withColumn("contrib", contrib_udf("tf", "dl", "df", "qtf"))
+    else:
+        raise ValueError(f"unknown scorer: {scorer}")
+
+    return _rank_topk(index, _fold_scores(cand), k, with_docid)

@@ -119,9 +119,13 @@ def _score_group(
         seg_ub += ub
         seg_cov += valid.astype(np.int32)
 
-    # pruning margin: the float32 sequential fold can exceed the float64
-    # sum of per-term bounds by ~n·ulp; inflate bounds so pruning is safe
-    seg_ub_adj = seg_ub * (1.0 + 1e-5) + 1e-12
+    # pruning margin: the float32 sequential fold of a doc's contributions
+    # can exceed the float64 sum of per-term bounds by the fold's rounding
+    # error, which grows with the number of covering terms (~n·2^-24 each
+    # step). Derive the inflation from the per-segment covering count so
+    # the bound stays safe for arbitrarily long queries (ADVICE r01):
+    # (1 + n_cov·2^-20) dominates n_cov·ulp with a 16x safety factor.
+    seg_ub_adj = seg_ub * (1.0 + seg_cov.astype(np.float64) * 2.0**-20) + 1e-12
 
     order = np.argsort(-seg_ub, kind="stable")
     all_docnos: list[np.ndarray] = []
@@ -156,8 +160,9 @@ def _score_group(
                 covering.sort(key=lambda x: x[1])  # ub ascending
                 cum = 0.0
                 n_non_essential = 0
+                infl = 1.0 + len(covering) * 2.0**-20
                 for _, u in covering:
-                    if (cum + u) * (1.0 + 1e-5) + 1e-12 < theta:
+                    if (cum + u) * infl + 1e-12 < theta:
                         cum += u
                         n_non_essential += 1
                     else:
@@ -238,7 +243,7 @@ def bm25_topk_wand(
     n_shards = props["n_shards"]
 
     rows, termids = query_term_rows(index, queries)
-    qt = spark.createDataFrame(rows, "qid string, termid long, qtf int, df int")
+    qt = spark.createDataFrame(rows, "qid string, termid long, qtf int, df int, cf long")
     schema = "qid string, rank int, docno long, score float"
     if with_docid:
         schema = "qid string, rank int, docno long, docid string, score float"
