@@ -151,75 +151,431 @@ def _docs(spark, sf_dir):
     return read_table(spark, sf_dir, "documents")
 
 
-def _engine_bm25_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The real engine end-to-end: build (or resume) the float32 index
-    over documents-as-corpus, then block-max WAND top-10."""
+def _source_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of the documents table: parquet file names,
+    sizes and mtimes. Regenerated testdata at the same path invalidates
+    the cached corpus/index instead of silently reusing a stale one."""
+    import hashlib
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    parts = []
+    if os.path.isdir(p):
+        for name in sorted(os.listdir(p)):
+            st = os.stat(os.path.join(p, name))
+            parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(p):
+        st = os.stat(p)
+        parts.append(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5(";".join(parts).encode()).hexdigest()[:12]
+
+
+def _engine_index(spark: SparkSession, sf_dir: str, positional: bool = False) -> "object":
+    """Build (or resume) the engine index over documents-as-corpus in a
+    temp workdir keyed by sf_dir + source content fingerprint."""
     from ivory_spark.index.build import IndexConfig, build_index
     from ivory_spark.index.reader import open_index
-    from ivory_spark.query.wand import bm25_topk_wand
 
-    corpus = documents_as_corpus(spark, sf_dir)
-    tag = sf_dir.strip("/").replace("/", "_")
+    tag = sf_dir.strip("/").replace("/", "_") + "_" + _source_fingerprint(sf_dir)
     work = os.path.join(tempfile.gettempdir(), f"ivory_engine_{tag}")
     corpus_path = os.path.join(work, "corpus.parquet")
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
-        corpus.write.mode("overwrite").parquet(corpus_path)
-    root = os.path.join(work, "index")
-    build_index(spark, corpus_path, root, IndexConfig())
-    index = open_index(spark, root)
-    return bm25_topk_wand(spark, index, IR.GATE_QUERIES, k=10)
+        documents_as_corpus(spark, sf_dir).write.mode("overwrite").parquet(corpus_path)
+    root = os.path.join(work, "index_pos" if positional else "index")
+    build_index(spark, corpus_path, root, IndexConfig(positional=positional))
+    return open_index(spark, root)
+
+
+def _round4(df: DataFrame) -> DataFrame:
+    """Gate shape: float32 score promoted to double (exact) then rounded —
+    reproducible bit-for-bit by the float32-emulating DuckDB oracles."""
+    return df.withColumn("score", F.round(F.col("score").cast("double"), 4))
+
+
+def _engine_bm25_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real engine end-to-end: build (or resume) the float32 index
+    over documents-as-corpus, then block-max WAND top-10."""
+    from ivory_spark.query.wand import bm25_topk_wand
+
+    index = _engine_index(spark, sf_dir)
+    return _round4(bm25_topk_wand(spark, index, IR.GATE_QUERIES, k=10))
 
 
 def _engine_sd_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential-dependence MRF (term + #od1 + #uw8 features) over a
-    positional index — the engine-native SD model (rows-only check here;
-    bit-exact golden tests in tests/test_mrf.py)."""
-    from ivory_spark.index.build import IndexConfig, build_index
-    from ivory_spark.index.reader import open_index
+    positional index — the engine-native SD model (float32-emulating
+    DuckDB oracle below; bit-exact golden tests in tests/test_mrf.py)."""
     from ivory_spark.query.mrf import MrfModel, mrf_topk
 
-    corpus = documents_as_corpus(spark, sf_dir)
-    tag = sf_dir.strip("/").replace("/", "_")
-    work = os.path.join(tempfile.gettempdir(), f"ivory_engine_{tag}")
-    corpus_path = os.path.join(work, "corpus.parquet")
-    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
-        corpus.write.mode("overwrite").parquet(corpus_path)
-    root = os.path.join(work, "index_pos")
-    build_index(spark, corpus_path, root, IndexConfig(positional=True))
-    index = open_index(spark, root)
-    return mrf_topk(spark, index, IR.GATE_QUERIES, MrfModel(dependence="sd"))
+    index = _engine_index(spark, sf_dir, positional=True)
+    return _round4(mrf_topk(spark, index, IR.GATE_QUERIES, MrfModel(dependence="sd")))
 
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ivory_spark.ops.multimodal import decode_features, synthesize_media
+    """Exploded (media_id, kind, n_bytes, dim, feature) — scalar rows so
+    the gate's sorted compare works; the features are sha256-derived and
+    therefore reproducible by the DuckDB oracle bit-for-bit."""
+    from ivory_spark.ops.multimodal import decode_features, explode_features, synthesize_media
 
-    return decode_features(synthesize_media(spark, _docs(spark, sf_dir)))
+    return explode_features(decode_features(synthesize_media(spark, _docs(spark, sf_dir))))
+
+
+def _sql_multimodal_features() -> str:
+    """DuckDB twin of synthesize_media + decode_features + explode_features:
+    payload = utf-8 bytes of text, feature[j] = float32(u32_le(sha256(payload),
+    4j) / 2^32) rounded to 6 dp after exact promotion to double."""
+    dim_rows = []
+    for j in range(8):  # FEATURE_DIM
+        p = 8 * j  # 0-based hex offset of the 4 little-endian bytes
+        le = (
+            f"substr(h, {p + 7}, 2) || substr(h, {p + 5}, 2) || "
+            f"substr(h, {p + 3}, 2) || substr(h, {p + 1}, 2)"
+        )
+        dim_rows.append(
+            f"SELECT media_id, kind, n_bytes, {j} AS dim, "
+            f"round(((('0x' || {le})::BIGINT)::DOUBLE / 4294967296.0)::FLOAT::DOUBLE, 6) "
+            f"AS feature FROM m"
+        )
+    return (
+        "WITH m AS (SELECT doc_id AS media_id, "
+        "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' "
+        "ELSE 'video' END AS kind, strlen(text)::BIGINT AS n_bytes, "
+        "sha256(text) AS h FROM documents) " + " UNION ALL ".join(dim_rows)
+    )
 
 
 def _engine_prf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pseudo-relevance-feedback expansion + weighted retrieval (MRFExpander
     analogue; rows-only — bit-exact goldens in tests/test_expansion.py)."""
-    from ivory_spark.index.build import IndexConfig, build_index
-    from ivory_spark.index.reader import open_index
     from ivory_spark.query.exact import bm25_topk
     from ivory_spark.query.expander import expand_queries
 
-    corpus = documents_as_corpus(spark, sf_dir)
-    tag = sf_dir.strip("/").replace("/", "_")
-    work = os.path.join(tempfile.gettempdir(), f"ivory_engine_{tag}")
-    corpus_path = os.path.join(work, "corpus.parquet")
-    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
-        corpus.write.mode("overwrite").parquet(corpus_path)
-    root = os.path.join(work, "index")
-    build_index(spark, corpus_path, root, IndexConfig())
-    index = open_index(spark, root)
+    index = _engine_index(spark, sf_dir)
     wq = expand_queries(spark, index, IR.GATE_QUERIES, fb_docs=5, fb_terms=8)
     return bm25_topk(spark, index, wq, k=10, weighted=True)
+
+
+# ---------------------------------------------------------------------------
+# engine-path oracles: float32-emulating DuckDB SQL
+#
+# DuckDB FLOAT arithmetic is IEEE float32 (verified: FLOAT op FLOAT computes
+# in single precision, matching numpy float32 bit-for-bit), and
+# list_reduce(list(x ORDER BY termid), (a,b) -> (a+b)::FLOAT) reproduces the
+# engine's canonical termid-ordered float32 fold (functions/scoring.py
+# group_sum_f32). These oracles rebuild the engine's docmap/dictionary/
+# postings semantics in SQL and score with the same float32 operation
+# order, so round(score::DOUBLE, 4) matches exactly.
+# ---------------------------------------------------------------------------
+
+# engine corpus + index CTEs (mirror sources/testdata.documents_as_corpus,
+# index/build.build_docmap + tdf + dictionary; tokenizer = code_v1 regex)
+_ENGINE_CTES = """
+ecorpus AS (SELECT source AS repo, 'doc/' || doc_id::VARCHAR AS path,
+            substr(sha256(text), 1, 40) AS commit, text AS content FROM documents),
+eded AS (SELECT repo, path, commit, content FROM (
+           SELECT *, row_number() OVER (PARTITION BY sha256(content)
+                     ORDER BY repo, path, commit) AS rn FROM ecorpus) WHERE rn = 1),
+edocmap AS (SELECT repo, path, commit, content,
+            row_number() OVER (ORDER BY repo, path, commit)::BIGINT AS docno FROM eded),
+etoks AS (SELECT docno, unnest(list_filter(
+            regexp_extract_all(lower(content), '[a-z_][a-z0-9_]*|[0-9]+'),
+            t -> length(t) <= 126)) AS term FROM edocmap),
+etf AS (SELECT docno, term, count(*)::BIGINT AS tf FROM etoks
+        GROUP BY docno, term HAVING count(*) <= 32767),
+edl AS (SELECT docno, sum(tf)::BIGINT AS dl FROM etf GROUP BY docno),
+edict AS (SELECT term, count(*)::INT AS df, sum(tf)::BIGINT AS cf,
+          row_number() OVER (ORDER BY count(*) DESC, term)::BIGINT AS termid
+          FROM etf GROUP BY term),
+egl AS (SELECT (SELECT count(*) FROM edocmap)::BIGINT AS n,
+               (SELECT coalesce(sum(dl), 0) FROM edl)::BIGINT AS clen)
+"""
+
+_ENGINE_DOCID = "d.repo || '/' || d.path || '@' || d.commit"
+
+
+def _sql_engine_query_values(queries) -> str:
+    """(qid, term, qtf) rows tokenized with the ENGINE tokenizer
+    (functions/tokenizer.tokenize_py) — duplicate tokens fold to qtf."""
+    from collections import Counter
+
+    from ivory_spark.functions.tokenizer import tokenize_py
+
+    rows = []
+    for q in queries:
+        for term, qtf in sorted(Counter(tokenize_py(q["query"])).items()):
+            rows.append(f"('{q['qid']}', '{term}', {qtf})")
+    return "eq(qid, term, qtf) AS (VALUES " + ", ".join(rows) + ")"
+
+
+# float32 BM25 contribution, matching functions/scoring.py exactly:
+# qtf_f32 * (idf_f32 * tf_part_f32) with idf = float32(ln_double(...)) and
+# tf_part computed entirely in float32 (same operation order/grouping)
+_F32_AVGDL = "((egl.clen::DOUBLE / egl.n::DOUBLE))::FLOAT"
+_F32_BM25_CONTRIB = f"""
+  ((eq.qtf::FLOAT) * (
+     (ln((egl.n::DOUBLE - edict.df::DOUBLE + 0.5) / (edict.df::DOUBLE + 0.5))::FLOAT)
+     * (((1.2::FLOAT + 1.0::FLOAT) * etf.tf::FLOAT)
+        / ((1.2::FLOAT * ((1.0::FLOAT - 0.75::FLOAT)
+             + (0.75::FLOAT * (edl.dl::FLOAT / {_F32_AVGDL}))))
+           + etf.tf::FLOAT))))
+"""
+
+
+def _sql_engine_bm25_top10(k: int = 10) -> str:
+    return f"""
+WITH {_ENGINE_CTES}, {_sql_engine_query_values(IR.GATE_QUERIES)},
+contrib AS (
+  SELECT eq.qid, etf.docno, edict.termid, {_F32_BM25_CONTRIB} AS c
+  FROM eq JOIN edict USING (term) JOIN etf USING (term)
+  JOIN edl ON edl.docno = etf.docno CROSS JOIN egl),
+scored AS (
+  SELECT qid, docno,
+         list_reduce(list(c ORDER BY termid), (a, b) -> (a + b)::FLOAT) AS score
+  FROM contrib GROUP BY qid, docno),
+top AS (SELECT qid, docno, score,
+        row_number() OVER (PARTITION BY qid ORDER BY score DESC, docno DESC)::INT AS rank
+        FROM scored)
+SELECT t.qid, t.rank, t.docno, {_ENGINE_DOCID} AS docid,
+       round(t.score::DOUBLE, 4) AS score
+FROM top t JOIN edocmap d USING (docno) WHERE t.rank <= {k}
+"""
+
+
+def _engine_scored(spark: SparkSession, sf_dir: str, scorer: str) -> DataFrame:
+    """Engine-native non-BM25 retrieval (scored_topk) over the cached index."""
+    from ivory_spark.query.exact import scored_topk
+
+    index = _engine_index(spark, sf_dir)
+    return _round4(scored_topk(spark, index, IR.GATE_QUERIES, scorer=scorer, k=10))
+
+
+# float32 contribution expressions for the non-BM25 engine scorers,
+# matching functions/scoring.py operation-for-operation (double inner
+# arithmetic in the numpy kernels' order, one cast to FLOAT, qtf as a
+# float32 multiplier). Column sources: m = candidate matrix rows.
+_F32_SCORER_CONTRIB = {
+    # dirichlet_score: float32(ln((tf + mu*(cf/clen)) / (dl + mu))), mu=2500
+    "dirichlet": (
+        "((qtf::FLOAT) * (ln((tf::DOUBLE + (2500.0::DOUBLE * (cf::DOUBLE / egl.clen::DOUBLE)))"
+        " / (dl::DOUBLE + 2500.0::DOUBLE))::FLOAT))"
+    ),
+    # jelinek_mercer_score: float32(ln((1-λ)*(tf/max(dl,1)) + λ*(cf/clen))), λ=0.5
+    "jm": (
+        "((qtf::FLOAT) * (ln(((1.0::DOUBLE - 0.5::DOUBLE) * (tf::DOUBLE / greatest(dl, 1)::DOUBLE))"
+        " + (0.5::DOUBLE * (cf::DOUBLE / egl.clen::DOUBLE)))::FLOAT))"
+    ),
+    # tfidf_score: float32(tf * ln(N/df))
+    "tfidf": "((qtf::FLOAT) * ((tf::DOUBLE * ln(egl.n::DOUBLE / df::DOUBLE))::FLOAT))",
+    # f2exp_score: float32(((N+1)/df) * tf / ((tf + s) + s*(dl/avgdl))), s=0.5, k=1
+    "f2exp": (
+        "((qtf::FLOAT) * (((((egl.n::DOUBLE + 1.0::DOUBLE) / df::DOUBLE) * tf::DOUBLE)"
+        " / ((tf::DOUBLE + 0.5::DOUBLE)"
+        " + (0.5::DOUBLE * (dl::DOUBLE / (egl.clen::DOUBLE / egl.n::DOUBLE)))))::FLOAT))"
+    ),
+}
+
+
+def _sql_engine_scored_top10(scorer: str, k: int = 10) -> str:
+    """DuckDB float32 oracle for scored_topk: LM scorers use the full
+    candidate x query-term matrix (tf=0 background rows); tf-proportional
+    scorers use matching rows only."""
+    lm = scorer in ("dirichlet", "jm")
+    if lm:
+        matrix = """
+qd AS (SELECT eq.qid, eq.term, eq.qtf, edict.termid, edict.df, edict.cf
+       FROM eq JOIN edict USING (term)),
+ecand AS (SELECT DISTINCT qd.qid, etf.docno FROM qd JOIN etf USING (term)),
+m AS (SELECT c.qid, c.docno, qd.termid, qd.qtf, qd.df, qd.cf,
+             coalesce(etf.tf, 0) AS tf, edl.dl
+      FROM ecand c JOIN qd ON qd.qid = c.qid
+      LEFT JOIN etf ON etf.docno = c.docno AND etf.term = qd.term
+      JOIN edl ON edl.docno = c.docno)"""
+    else:
+        matrix = """
+m AS (SELECT eq.qid, etf.docno, edict.termid, eq.qtf, edict.df, edict.cf,
+             etf.tf, edl.dl
+      FROM eq JOIN edict USING (term) JOIN etf USING (term)
+      JOIN edl ON edl.docno = etf.docno)"""
+    return f"""
+WITH {_ENGINE_CTES}, {_sql_engine_query_values(IR.GATE_QUERIES)}, {matrix},
+contrib AS (SELECT qid, docno, termid, {_F32_SCORER_CONTRIB[scorer]} AS c
+            FROM m CROSS JOIN egl),
+scored AS (
+  SELECT qid, docno,
+         list_reduce(list(c ORDER BY termid), (a, b) -> (a + b)::FLOAT) AS score
+  FROM contrib GROUP BY qid, docno),
+top AS (SELECT qid, docno, score,
+        row_number() OVER (PARTITION BY qid ORDER BY score DESC, docno DESC)::INT AS rank
+        FROM scored)
+SELECT t.qid, t.rank, t.docno, {_ENGINE_DOCID} AS docid,
+       round(t.score::DOUBLE, 4) AS score
+FROM top t JOIN edocmap d USING (docno) WHERE t.rank <= {k}
+"""
+
+
+# float32 BM25 clique score with explicit df/dl/tf sources (for the SD
+# oracle, where proximity cliques use the df = N//100 heuristic)
+def _f32_bm25_clique(tf: str, df: str) -> str:
+    return f"""((ln((egl.n::DOUBLE - {df}::DOUBLE + 0.5) / ({df}::DOUBLE + 0.5))::FLOAT)
+      * (((1.2::FLOAT + 1.0::FLOAT) * {tf}::FLOAT)
+         / ((1.2::FLOAT * ((1.0::FLOAT - 0.75::FLOAT)
+              + (0.75::FLOAT * (edl.dl::FLOAT / {_F32_AVGDL}))))
+            + {tf}::FLOAT)))"""
+
+
+def _sql_engine_sd_top10(k: int = 10) -> str:
+    """DuckDB float32 oracle for the SD MRF engine path (query/mrf.py).
+
+    Clique list (term cliques per token occurrence, #od1 / #uw8 adjacent
+    pairs) is generated by the same build_cliques the engine uses and
+    inlined as VALUES; the 2-term window-scan semantics of
+    count_ordered_matches / count_unordered_matches reduce to:
+      od(t1,t2,g):   |{a in P1 : min(P2 > a) - a <= g}|
+      uw(t1,t2,w):   |{a in P1 : exists b in P2, 0 < b-a <= w-1}|
+                   + |{b in P2 : exists a in P1, 0 < a-b <= w-1}|
+      od(t,t,g):     |P|           (duplicate-token pair, e.g. "data data")
+      uw(t,t,w):     |P| + |{p in P : exists q in P, 0 < q-p <= w-1}|
+    Zero-contribution cliques (tf=0 / OOV) are dropped: adding +0.0f to a
+    float32 accumulator is exact identity, so the ordered fold over the
+    remaining cliques is bit-identical to the engine's."""
+    import numpy as _np
+
+    from ivory_spark.functions.tokenizer import tokenize_py
+    from ivory_spark.query.mrf import MrfModel, build_cliques
+
+    model = MrfModel(dependence="sd")
+    rows = []
+    for q in IR.GATE_QUERIES:
+        for ci, c in enumerate(build_cliques(tokenize_py(q["query"]), model)):
+            wf = repr(float(_np.float32(c["weight"])))  # exact float32 literal
+            if c["kind"] == "term":
+                rows.append(f"('{q['qid']}', {ci}, 'term', '{c['terms'][0]}', "
+                            f"'{c['terms'][0]}', {wf}::FLOAT, 0)")
+            else:
+                t1, t2 = c["terms"]
+                kind = c["kind"] + ("_same" if t1 == t2 else "")
+                rows.append(f"('{q['qid']}', {ci}, '{kind}', '{t1}', '{t2}', "
+                            f"{wf}::FLOAT, {c['window']})")
+    cl_values = "cl(qid, cidx, kind, t1, t2, w, win) AS (VALUES " + ", ".join(rows) + ")"
+    prox_df = "(egl.n // 100)"
+    return f"""
+WITH {_ENGINE_CTES}, {cl_values},
+epos AS (SELECT p.docno, p.term, p.pos FROM (
+   SELECT docno, unnest(l) AS term, generate_subscripts(l, 1)::BIGINT AS pos
+   FROM (SELECT docno, list_filter(regexp_extract_all(lower(content),
+        '[a-z_][a-z0-9_]*|[0-9]+'), t -> length(t) <= 126) AS l FROM edocmap)
+ ) p JOIN etf ON etf.docno = p.docno AND etf.term = p.term),
+tcon AS (
+  SELECT cl.qid, etf.docno, cl.cidx,
+         ((cl.w) * {_f32_bm25_clique("etf.tf", "edict.df")}) AS c
+  FROM cl JOIN edict ON edict.term = cl.t1
+  JOIN etf ON etf.term = cl.t1
+  JOIN edl ON edl.docno = etf.docno CROSS JOIN egl
+  WHERE cl.kind = 'term'),
+odx AS (SELECT cl.qid, cl.cidx, cl.win, a.docno, a.pos AS pa, min(b.pos) AS mb
+        FROM cl JOIN epos a ON a.term = cl.t1
+        JOIN epos b ON b.docno = a.docno AND b.term = cl.t2 AND b.pos > a.pos
+        WHERE cl.kind = 'od'
+        GROUP BY cl.qid, cl.cidx, cl.win, a.docno, a.pos),
+odc AS (SELECT qid, cidx, docno, least(count(*), 32767)::BIGINT AS tf
+        FROM odx WHERE mb - pa <= win GROUP BY qid, cidx, docno),
+odsc AS (SELECT cl.qid, cl.cidx, e.docno, least(count(*), 32767)::BIGINT AS tf
+         FROM cl JOIN epos e ON e.term = cl.t1 WHERE cl.kind = 'od_same'
+         GROUP BY cl.qid, cl.cidx, e.docno),
+uwx AS (
+  SELECT DISTINCT cl.qid, cl.cidx, a.docno, a.pos
+  FROM cl JOIN epos a ON a.term = cl.t1
+  JOIN epos b ON b.docno = a.docno AND b.term = cl.t2
+       AND b.pos > a.pos AND b.pos - a.pos <= cl.win - 1
+  WHERE cl.kind = 'uw'
+  UNION ALL
+  SELECT DISTINCT cl.qid, cl.cidx, b.docno, b.pos
+  FROM cl JOIN epos b ON b.term = cl.t2
+  JOIN epos a ON a.docno = b.docno AND a.term = cl.t1
+       AND a.pos > b.pos AND a.pos - b.pos <= cl.win - 1
+  WHERE cl.kind = 'uw'),
+uwc AS (SELECT qid, cidx, docno, least(count(*), 32767)::BIGINT AS tf
+        FROM uwx GROUP BY qid, cidx, docno),
+uwsc AS (SELECT qid, cidx, docno, least(sum(tf), 32767)::BIGINT AS tf FROM (
+    SELECT cl.qid, cl.cidx, e.docno, count(*) AS tf
+    FROM cl JOIN epos e ON e.term = cl.t1 WHERE cl.kind = 'uw_same'
+    GROUP BY cl.qid, cl.cidx, e.docno
+    UNION ALL
+    SELECT cl.qid, cl.cidx, a.docno, count(DISTINCT a.pos) AS tf
+    FROM cl JOIN epos a ON a.term = cl.t1
+    JOIN epos b ON b.docno = a.docno AND b.term = cl.t1
+         AND b.pos > a.pos AND b.pos - a.pos <= cl.win - 1
+    WHERE cl.kind = 'uw_same'
+    GROUP BY cl.qid, cl.cidx, a.docno
+  ) GROUP BY qid, cidx, docno),
+prox AS (SELECT * FROM odc UNION ALL SELECT * FROM odsc
+         UNION ALL SELECT * FROM uwc UNION ALL SELECT * FROM uwsc),
+pcon AS (
+  SELECT p.qid, p.docno, p.cidx,
+         ((cl.w) * {_f32_bm25_clique("p.tf", prox_df)}) AS c
+  FROM prox p JOIN cl ON cl.qid = p.qid AND cl.cidx = p.cidx
+  JOIN edl ON edl.docno = p.docno CROSS JOIN egl),
+allc AS (SELECT * FROM tcon UNION ALL SELECT * FROM pcon),
+scored AS (
+  SELECT qid, docno,
+         list_reduce(list(c ORDER BY cidx), (a, b) -> (a + b)::FLOAT) AS score
+  FROM allc GROUP BY qid, docno),
+top AS (SELECT qid, docno, score,
+        row_number() OVER (PARTITION BY qid ORDER BY score DESC, docno DESC)::INT AS rank
+        FROM scored)
+SELECT t.qid, t.rank, t.docno, {_ENGINE_DOCID} AS docid,
+       round(t.score::DOUBLE, 4) AS score
+FROM top t JOIN edocmap d USING (docno) WHERE t.rank <= {k}
+"""
 
 
 def _ann_queries(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     return emb, SIM.query_vectors(spark, emb, n=10)
+
+
+def _sql_ann_lsh_top5(n_planes: int = 8, dim: int = 64, multiprobe: int = 1, k: int = 5) -> str:
+    """DuckDB twin of similarity.lsh_bucketed_topk: the Rademacher planes
+    are md5-derived (portable), and each SRP dot product is the same
+    ordered left fold Spark's F.aggregate computes, so bucket bits match
+    bit-for-bit at the sign boundary."""
+    from itertools import combinations
+
+    from ivory_spark.ops.similarity import rademacher_planes
+
+    planes = rademacher_planes(dim, n_planes)
+
+    def dot(vcol: str, b: int) -> str:
+        lits = "[" + ", ".join("1.0" if x > 0 else "-1.0" for x in planes[b]) + "]"
+        return (
+            f"list_reduce(list_transform(list_zip({vcol}, {lits}), "
+            f"x -> x[1] * x[2]), (a, b) -> a + b)"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot('v', b)} > 0 THEN {2**b} ELSE 0 END)" for b in range(n_planes)
+    )
+    masks = [0]
+    for h in range(1, multiprobe + 1):
+        for bits in combinations(range(n_planes), h):
+            masks.append(sum(1 << b for b in bits))
+    probes = ", ".join(f"xor(bucket, {m})" for m in masks)
+    cos = (
+        "round(list_dot_product(q.qv, eb.v) / "
+        "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(eb.v, eb.v))), 6)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ebk AS (SELECT vec_id, v, ({bucket})::BIGINT AS bucket FROM e),
+q0 AS (SELECT vec_id AS qid, v AS qv, bucket FROM ebk WHERE vec_id < 10),
+qp AS (SELECT qid, qv, unnest([{probes}]) AS bucket FROM q0),
+cand AS (SELECT DISTINCT qp.qid, eb2.vec_id FROM qp
+         JOIN ebk eb2 USING (bucket) WHERE eb2.vec_id <> qp.qid),
+j AS (SELECT c.qid, c.vec_id, {cos} AS cosine
+      FROM cand c JOIN q0 q ON q.qid = c.qid JOIN ebk eb ON eb.vec_id = c.vec_id)
+SELECT qid, rank, vec_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id)::INT AS rank
+  FROM j) WHERE rank <= {k}
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -253,8 +609,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": lambda s, d: TS.quality_score(_docs(s, d)),
         "text_langid": lambda s, d: TS.langid(_docs(s, d)),
         "text_fingerprint": lambda s, d: TS.fingerprint(_docs(s, d)),
-        # --- engine-native (float32 kernels; pytest-verified, rows-only here)
+        # --- engine-native (float32 kernels; DuckDB float32-emulating oracles)
         "engine_bm25_top10": _engine_bm25_top10,
+        "engine_dirichlet_top10": lambda s, d: _engine_scored(s, d, "dirichlet"),
+        "engine_jm_top10": lambda s, d: _engine_scored(s, d, "jm"),
+        "engine_tfidf_top10": lambda s, d: _engine_scored(s, d, "tfidf"),
+        "engine_f2exp_top10": lambda s, d: _engine_scored(s, d, "f2exp"),
         "engine_sd_top10": _engine_sd_top10,
         "engine_prf_top10": _engine_prf_top10,
         "multimodal_features": _multimodal_features,
@@ -386,4 +746,12 @@ FROM agg""",
         "text_fingerprint": "SELECT doc_id, substr(md5(array_to_string("
         "list_filter(string_split(lower(text), ' '), x -> x <> ''), ' ')), 1, 16) AS fp16 "
         "FROM documents",
+        "multimodal_features": _sql_multimodal_features(),
+        "engine_bm25_top10": _sql_engine_bm25_top10(),
+        "engine_dirichlet_top10": _sql_engine_scored_top10("dirichlet"),
+        "engine_jm_top10": _sql_engine_scored_top10("jm"),
+        "engine_tfidf_top10": _sql_engine_scored_top10("tfidf"),
+        "engine_f2exp_top10": _sql_engine_scored_top10("f2exp"),
+        "engine_sd_top10": _sql_engine_sd_top10(),
+        "ann_lsh_top5": _sql_ann_lsh_top5(),
     }
