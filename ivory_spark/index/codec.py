@@ -9,9 +9,13 @@ variable-byte instead of bit-level Golomb/gamma: varint is
 vectorization-friendly (the reference's bit streams are hostile to SIMD /
 NumPy), and retrieval scores do not depend on the storage codec.
 
-Blob layout (little-endian):
-  header : uint32 n_postings, uint32 n_blocks
-  dir    : n_blocks x (uint64 last_docno, float32 max_impact, uint32 end)
+Blob layout (little-endian, FORMAT_VERSION 2 — mirrors _HDR/_DIR below):
+  header : uint32 n_postings, uint32 n_blocks, uint32 block_size
+           (block_size is adaptive per run, see _block_size_for)
+  dir    : n_blocks x (uint64 first_docno, uint64 last_docno,
+                       float32 max_impact, uint32 end)
+           `first_docno`/`last_docno` = block's docno range — first_docno
+           lets the WAND grid prove inter-block docno gaps term-free
            `end` = payload byte offset one past this block's payload
            `max_impact` = max per-posting BM25 impact in the block — the
            block-max WAND bound (upgrade of Ivory's term-level MaxScore,

@@ -76,9 +76,14 @@ def expand_queries(
             {"qid": q["qid"], "terms": _mix(tokenize_py(q["query"]), [], alpha)}
             for q in queries
         ]
+    # mine only dictionary terms: the tdf artifact is pre-min_df/max_df
+    # filter, and expansion candidates outside the dictionary can't be
+    # retrieved — and would perturb the L1 normalization vs the oracle
+    # (which mines the dictionary). left_semi keeps the scan one-pass.
     tdf = spark.read.parquet(os.path.join(index.root, "tdf"))
     rows = (
         tdf.filter(F.col("docno").isin([int(d) for d in all_docnos]))
+        .join(F.broadcast(index.dictionary.select("term")), "term", "left_semi")
         .select("term", "docno", "tf", "dl")
         .collect()
     )

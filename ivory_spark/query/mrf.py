@@ -25,7 +25,10 @@ Reference semantics reproduced (not copied):
 
 Documented deviation: a proximity clique left with fewer than two
 in-dictionary terms contributes 0 (the reference's single-reader
-behavior is a degenerate artifact of its scan loop).
+behavior is a degenerate artifact of its scan loop). Dirichlet cliques
+with tf=0 score the reference's background probability (nonzero,
+doclen-dependent), clamped to 0 only when the clique's cf heuristic
+degenerates to 0 on a sub-100-doc corpus.
 
 The MRF path is exact (no pruning); its golden oracle is oracle_mrf_topk
 below, which shares every kernel with the Spark path.
@@ -69,10 +72,32 @@ def _merge_streams(position_lists: list[np.ndarray]) -> tuple[np.ndarray, np.nda
 
 def count_ordered_matches(position_lists: list[np.ndarray], gap: int) -> int:
     """#od[gap]: all terms in reader order, each consecutive new-term gap
-    <= gap."""
+    <= gap (ProximityPostingsReaderOrderedWindow.java:92-136).
+
+    Two-reader cliques (every SD clique, every FD pair) take a vectorized
+    searchsorted path derived from the scan semantics: a start at a in P1
+    matches iff min(P2 > a) - a <= gap (P2 starts always violate reader
+    order); identical lists (duplicate query token) match once per
+    occurrence. n>2 readers fall back to the reference scan loop.
+    Equivalence is property-tested in tests/test_mrf.py."""
     n_readers = len(position_lists)
     if n_readers < 2 or any(len(p) == 0 for p in position_lists):
         return 0
+    if n_readers == 2:
+        p1 = np.asarray(position_lists[0], dtype=np.int64)
+        p2 = np.asarray(position_lists[1], dtype=np.int64)
+        if len(p1) == len(p2) and np.array_equal(p1, p2):
+            return min(len(p1), SHORT_MAX)
+        idx = np.searchsorted(p2, p1, side="right")
+        valid = idx < len(p2)
+        nxt = p2[np.minimum(idx, len(p2) - 1)]
+        return min(int(np.count_nonzero(valid & (nxt - p1 <= gap))), SHORT_MAX)
+    return _count_ordered_scan(position_lists, gap)
+
+
+def _count_ordered_scan(position_lists: list[np.ndarray], gap: int) -> int:
+    """Reference scan loop (exact reference semantics, any reader count)."""
+    n_readers = len(position_lists)
     positions, ids = _merge_streams(position_lists)
     matches = 0
     n = len(positions)
@@ -101,10 +126,37 @@ def count_ordered_matches(position_lists: list[np.ndarray], gap: int) -> int:
 
 
 def count_unordered_matches(position_lists: list[np.ndarray], window: int) -> int:
-    """#uw[window]: all terms within `window` consecutive positions."""
+    """#uw[window]: all terms within `window` consecutive positions
+    (ProximityPostingsReaderUnorderedWindow.java:90-124).
+
+    Two-reader vectorized form: a start at a in P1 matches iff P2 has an
+    element in (a, a + window - 1]; symmetric for P2 starts; identical
+    lists (duplicate token) add one match per occurrence plus one per
+    occurrence with a successor inside the window. n>2 readers use the
+    reference scan loop."""
     n_readers = len(position_lists)
     if n_readers < 2 or any(len(p) == 0 for p in position_lists):
         return 0
+    if n_readers == 2:
+        p1 = np.asarray(position_lists[0], dtype=np.int64)
+        p2 = np.asarray(position_lists[1], dtype=np.int64)
+
+        def starts_with_partner(a: np.ndarray, b: np.ndarray) -> int:
+            hi = np.searchsorted(b, a + (window - 1), side="right")
+            lo = np.searchsorted(b, a, side="right")
+            return int(np.count_nonzero(hi > lo))
+
+        if len(p1) == len(p2) and np.array_equal(p1, p2):
+            return min(len(p1) + starts_with_partner(p1, p1), SHORT_MAX)
+        return min(
+            starts_with_partner(p1, p2) + starts_with_partner(p2, p1), SHORT_MAX
+        )
+    return _count_unordered_scan(position_lists, window)
+
+
+def _count_unordered_scan(position_lists: list[np.ndarray], window: int) -> int:
+    """Reference scan loop (exact reference semantics, any reader count)."""
+    n_readers = len(position_lists)
     positions, ids = _merge_streams(position_lists)
     matches = 0
     n = len(positions)
@@ -203,7 +255,12 @@ def _clique_score(
     scorer: str, params: dict, tf: int, dl: int, df: int, cf: int,
     n_docs: int, avgdl: float, collection_len: int,
 ) -> np.float32:
-    if tf <= 0:
+    if tf <= 0 and (scorer != "dirichlet" or cf <= 0):
+        # tf-proportional scorers: absent term scores 0. Dirichlet keeps
+        # the reference's nonzero doclen-dependent background for absent
+        # terms (DirichletScoringFunction.java:30-66); the cf<=0 guard
+        # covers degenerate proximity heuristics on tiny corpora (df =
+        # N//100 = 0) where the background would be log(0).
         return F32(0.0)
     if scorer == "bm25":
         idf = bm25_idf(n_docs, np.array([df]), mode=params.get("idf", "okapi"))[0]

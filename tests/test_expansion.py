@@ -85,3 +85,25 @@ def test_expanded_retrieval_rank_identity(spark, idx, oi):
     wq = expand_queries(spark, idx, qs, fb_docs=5, fb_terms=8, alpha=0.4)
     golden = oracle_topk_weighted(oi, wq, k=K)
     _assert_match(bm25_topk(spark, idx, wq, k=K, weighted=True), golden)
+
+
+def test_expansion_identity_min_df2(spark, tiny_corpus, tiny_corpus_path, tmp_path_factory):
+    """min_df>1 builds: expansion must mine only dictionary terms (the tdf
+    artifact is pre-filter), or the selected concepts and L1 weights
+    diverge between engine and oracle (ADVICE r01)."""
+    root = str(tmp_path_factory.mktemp("idx") / "mindf2")
+    build_index(spark, tiny_corpus_path, root, IndexConfig(min_df=2))
+    idx2 = open_index(spark, root)
+    oi2 = build_oracle_index(tiny_corpus.drop(columns=["sha256"]), min_df=2)
+
+    wq_spark = expand_queries(spark, idx2, QUERY_SET[:3], fb_docs=5, fb_terms=8)
+    wq_oracle = oracle_expand_queries(oi2, QUERY_SET[:3], fb_docs=5, fb_terms=8)
+    by_qid = {q["qid"]: q["terms"] for q in wq_oracle}
+    for q in wq_spark:
+        want = by_qid[q["qid"]]
+        assert [t for t, _ in q["terms"]] == [t for t, _ in want], q["qid"]
+        assert np.allclose([w for _, w in q["terms"]], [w for _, w in want],
+                           rtol=0, atol=0), q["qid"]
+
+    golden = oracle_topk_weighted(oi2, wq_oracle, k=K)
+    _assert_match(bm25_topk(spark, idx2, wq_spark, k=K, weighted=True), golden)

@@ -161,3 +161,37 @@ def test_positional_flag_required(spark, tiny_corpus_path, tmp_path):
     idx = open_index(spark, root)
     with pytest.raises(ValueError, match="positional"):
         mrf_topk(spark, idx, MRF_QUERIES[:1])
+
+
+def test_window_kernels_vectorized_equals_scan():
+    """The 2-reader searchsorted fast path is bit-equal to the reference
+    scan loop across random position lists (incl. identical lists, the
+    duplicate-query-token case)."""
+    import numpy as np
+
+    from ivory_spark.query.mrf import (
+        _count_ordered_scan,
+        _count_unordered_scan,
+        count_ordered_matches,
+        count_unordered_matches,
+    )
+
+    rng = np.random.RandomState(42)
+    for trial in range(300):
+        n_pos = rng.randint(1, 400)
+        allpos = rng.choice(np.arange(1, 1000), size=min(n_pos, 999), replace=False)
+        split = rng.randint(0, len(allpos) + 1)
+        p1 = np.sort(allpos[:split])
+        p2 = np.sort(allpos[split:])
+        if trial % 7 == 0:
+            p2 = p1.copy()  # duplicate-token clique
+        if len(p1) == 0 or len(p2) == 0:
+            continue
+        for gap in (1, 2, 5):
+            assert count_ordered_matches([p1, p2], gap) == _count_ordered_scan(
+                [p1, p2], gap
+            ), (trial, gap)
+        for win in (2, 8, 20):
+            assert count_unordered_matches([p1, p2], win) == _count_unordered_scan(
+                [p1, p2], win
+            ), (trial, win)
