@@ -1,0 +1,41 @@
+"""English stopword list for the galago_en analysis chain.
+
+Plays the role of the stoplist compiled into Ivory's GalagoTokenizer
+(ivory/core/tokenize/GalagoTokenizer.java:33-777 — reproduced behavior,
+not copied data: this is the standard public Snowball English stopword
+list plus common function-word extensions, lowercased, one term each).
+The list is a module-level constant so builds are reproducible; callers
+can pass their own set (IndexConfig selects the tokenizer, the tokenizer
+closure captures the list).
+"""
+
+STOPWORDS_EN = frozenset("""
+a about above after again against all am an and any are aren as at be
+because been before being below between both but by can cannot could
+couldn did didn do does doesn doing don down during each few for from
+further had hadn has hasn have haven having he her here hers herself him
+himself his how i if in into is isn it its itself just ll me mightn more
+most mustn my myself needn no nor not now o of off on once only or other
+our ours ourselves out over own re s same shan she should shouldn so
+some such t than that the their theirs them themselves then there these
+they this those through to too under until up ve very was wasn we were
+weren what when where which while who whom why will with won would
+wouldn you your yours yourself yourselves
+also although always among amongst amoungst amount another anyhow anyone
+anything anyway anywhere around became become becomes becoming beforehand
+behind beside besides beyond bill bottom call con cry de describe detail
+done due eg eight either eleven else elsewhere empty enough etc even ever
+every everyone everything everywhere except fifteen fifty fill find fire
+first five former formerly forty found four front full get give go
+hence hereafter hereby herein hereupon however hundred ie inc indeed
+interest keep last latter latterly least less ltd made many may meanwhile
+might mill mine moreover mostly move much must name namely neither never
+nevertheless next nine nobody none noone nothing nowhere often one onto
+others otherwise part per perhaps please put rather say see seem seemed
+seeming seems serious several show side since sincere six sixty somehow
+someone something sometime sometimes somewhere still system take ten
+therefore therein thereupon third thick thin three thru thus together
+top toward towards twelve twenty two un upon us via well whatever
+whence whenever whereafter whereas whereby wherein whereupon wherever
+whether whither whoever whole whose yet
+""".split())

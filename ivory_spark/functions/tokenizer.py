@@ -46,12 +46,18 @@ def tokenize_py(content: str) -> list[str]:
     return [t for t in _RX.findall(content.lower()) if len(t) <= MAX_TOKEN_LEN]
 
 
-def term_positions_py(content: str) -> dict[str, list[int]]:
-    """term -> 1-based positions; tf-overflow terms dropped."""
+def _positions_from_tokens(tokens: list[str]) -> dict[str, list[int]]:
+    """term -> 1-based positions over a token stream; tf-overflow terms
+    dropped (DocumentProcessingUtils.java:42,102-113)."""
     pos: dict[str, list[int]] = defaultdict(list)
-    for i, t in enumerate(tokenize_py(content), start=1):
+    for i, t in enumerate(tokens, start=1):
         pos[t].append(i)
     return {t: p for t, p in pos.items() if len(p) <= MAX_TF}
+
+
+def term_positions_py(content: str) -> dict[str, list[int]]:
+    """term -> 1-based positions; tf-overflow terms dropped."""
+    return _positions_from_tokens(tokenize_py(content))
 
 
 def doclen_py(content: str) -> int:
@@ -117,3 +123,109 @@ def term_doc_vectors(df: DataFrame, docno: str = "docno", content: str = "conten
         "doclen",
         F.aggregate("terms", F.lit(0), lambda acc, x: acc + F.size(x["positions"])),
     )
+
+
+# ---------------------------------------------------------------------------
+# galago_en: natural-language analysis chain — split on non-alphanumeric,
+# stopword removal, Porter stemming — the analogue of Ivory's default
+# English path (ivory/core/tokenize/GalagoTokenizer.java:33-777 stoplist,
+# :788-832 stemming; reproduced, not copied). Positions are assigned over
+# the post-stopword, post-stem token stream, as the reference's
+# processContent output feeds DocumentProcessingUtils.
+#
+# Stemming is not a JVM column expression, so galago_en's build path is an
+# Arrow-batched mapInPandas (the documented Python-UDF path); the code_v1
+# tokenizer keeps the pure-JVM codegen path.
+# ---------------------------------------------------------------------------
+
+GALAGO_TOKEN_PATTERN = r"[a-z0-9]+"
+_GRX = re.compile(GALAGO_TOKEN_PATTERN)
+
+
+def galago_tokenize_py(content: str) -> list[str]:
+    from ivory_spark.functions.stemmer import porter_stem
+    from ivory_spark.functions.stopwords import STOPWORDS_EN
+
+    if not content:
+        return []
+    return [
+        porter_stem(t)
+        for t in _GRX.findall(content.lower())
+        if len(t) <= MAX_TOKEN_LEN and t not in STOPWORDS_EN
+    ]
+
+
+def galago_term_positions_py(content: str) -> dict[str, list[int]]:
+    return _positions_from_tokens(galago_tokenize_py(content))
+
+
+def _python_doc_terms(tokenize_fn, positional: bool):
+    """mapInPandas (docno, term, tf[, positions]) builder for tokenizers
+    that need Python (stemming). One Arrow batch is the unit of work;
+    emitting aggregated rows directly avoids the explode+groupBy shuffle
+    the JVM path needs."""
+
+    def build(df: DataFrame, docno: str = "docno", content: str = "content") -> DataFrame:
+        schema = f"{docno} long, term string, tf int" + (
+            ", positions array<int>" if positional else ""
+        )
+
+        def gen(batches):
+            for pdf in batches:
+                d_out, t_out, tf_out, p_out = [], [], [], []
+                for dn, c in zip(pdf[docno], pdf[content]):
+                    tp = _positions_from_tokens(tokenize_fn(c or ""))
+                    for t, p in sorted(tp.items()):
+                        d_out.append(dn)
+                        t_out.append(t)
+                        tf_out.append(len(p))
+                        if positional:
+                            p_out.append(p)
+                data = {docno: pd.Series(d_out, dtype="int64"),
+                        "term": pd.Series(t_out, dtype="object"),
+                        "tf": pd.Series(tf_out, dtype="int32")}
+                if positional:
+                    data["positions"] = pd.Series(p_out, dtype="object")
+                yield pd.DataFrame(data)
+
+        return df.select(docno, content).mapInPandas(gen, schema=schema)
+
+    return build
+
+
+class TokenizerSpec:
+    """Registry entry: shared tokenize_py (query side + oracle) and the
+    Spark-side (docno, term, tf[, positions]) builders (index side).
+    The extension point IndexConfig.tokenizer selects from TOKENIZERS —
+    the analogue of Ivory's tokenizer class option
+    (app/PreprocessCollection.java tokenizer_class)."""
+
+    def __init__(self, name, tokenize_py_fn, doc_terms_fn, doc_terms_positional_fn):
+        self.name = name
+        self.tokenize_py = tokenize_py_fn
+        self.doc_terms = doc_terms_fn
+        self.doc_terms_positional = doc_terms_positional_fn
+
+
+TOKENIZERS: dict[str, TokenizerSpec] = {}
+
+
+def register_tokenizer(spec: TokenizerSpec) -> None:
+    TOKENIZERS[spec.name] = spec
+
+
+def get_tokenizer(name: str) -> TokenizerSpec:
+    if name not in TOKENIZERS:
+        raise ValueError(f"unknown tokenizer '{name}' (have: {sorted(TOKENIZERS)})")
+    return TOKENIZERS[name]
+
+
+register_tokenizer(TokenizerSpec("code_v1", tokenize_py, doc_terms, doc_terms_positional))
+register_tokenizer(
+    TokenizerSpec(
+        "galago_en",
+        galago_tokenize_py,
+        _python_doc_terms(galago_tokenize_py, positional=False),
+        _python_doc_terms(galago_tokenize_py, positional=True),
+    )
+)

@@ -39,7 +39,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ivory_spark.functions.scoring import bm25_idf, bm25_tf_part
-from ivory_spark.functions.tokenizer import doc_terms, tokens_expr
 from ivory_spark.index import codec
 from ivory_spark.plans.manifest import StageRun, stage_is_valid
 
@@ -174,12 +173,13 @@ def build_index(
     # ---- stage: tdf (tokenize -> (docno, term, tf, dl)) ------------------
     if not stage_is_valid(index_root, "tdf", fp, [tdf_path]):
         with StageRun(index_root, "tdf", fp) as run:
-            if cfg.positional:
-                from ivory_spark.functions.tokenizer import doc_terms_positional
+            from ivory_spark.functions.tokenizer import get_tokenizer
 
-                tdf = doc_terms_positional(docmap.select("docno", "content"))
+            tok = get_tokenizer(cfg.tokenizer)
+            if cfg.positional:
+                tdf = tok.doc_terms_positional(docmap.select("docno", "content"))
             else:
-                tdf = doc_terms(docmap.select("docno", "content"))
+                tdf = tok.doc_terms(docmap.select("docno", "content"))
             from pyspark.sql import Window
             w = Window.partitionBy("docno")
             tdf = tdf.withColumn("dl", F.sum("tf").over(w).cast("int"))

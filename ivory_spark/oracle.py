@@ -28,7 +28,7 @@ from ivory_spark.functions.scoring import (
     bm25_tf_part,
     group_sum_f32,
 )
-from ivory_spark.functions.tokenizer import term_positions_py, tokenize_py
+from ivory_spark.functions.tokenizer import get_tokenizer
 
 
 @dataclass
@@ -41,9 +41,15 @@ class OracleIndex:
     dictionary: dict[str, tuple[int, int, int]]  # term -> (termid, df, cf)
     postings: dict[str, list[tuple[int, int]]]  # term -> [(docno, tf)] doc-sorted
     positions: dict[str, dict[int, list[int]]] = None  # term -> docno -> positions
+    tokenizer: str = "code_v1"
 
 
-def build_oracle_index(corpus: pd.DataFrame, min_df: int = 1) -> OracleIndex:
+def build_oracle_index(
+    corpus: pd.DataFrame, min_df: int = 1, tokenizer: str = "code_v1"
+) -> OracleIndex:
+    from ivory_spark.functions.tokenizer import _positions_from_tokens, get_tokenizer
+
+    tokenize = get_tokenizer(tokenizer).tokenize_py
     df = corpus.copy()
     df["sha256"] = df["content"].map(lambda c: hashlib.sha256(c.encode()).hexdigest())
     # dedup: keep the minimal (repo, path, commit) identity per content hash
@@ -56,7 +62,7 @@ def build_oracle_index(corpus: pd.DataFrame, min_df: int = 1) -> OracleIndex:
     positions: dict[str, dict[int, list[int]]] = {}
     docids: dict[int, str] = {}
     for row in df.itertuples(index=False):
-        tp = term_positions_py(row.content)
+        tp = _positions_from_tokens(tokenize(row.content))
         dl = sum(len(p) for p in tp.values())
         doclens[row.docno] = dl
         docids[row.docno] = f"{row.repo}/{row.path}@{row.commit}"
@@ -75,6 +81,7 @@ def build_oracle_index(corpus: pd.DataFrame, min_df: int = 1) -> OracleIndex:
     clen = sum(doclens.values())
     n = len(df)
     return OracleIndex(
+        tokenizer=tokenizer,
         n_docs=n,
         collection_length=clen,
         avgdl=(clen / n) if n else 0.0,
@@ -158,7 +165,7 @@ def oracle_scored_topk(
     lm = scorer in ("dirichlet", "jm")
     out: dict[str, list[dict]] = {}
     for q in queries:
-        qterms = Counter(tokenize_py(q["query"]))
+        qterms = Counter(get_tokenizer(oi.tokenizer).tokenize_py(q["query"]))
         resolved = [
             (t, qtf, *oi.dictionary[t])
             for t, qtf in sorted(qterms.items())
@@ -225,7 +232,7 @@ def oracle_topk(
     """qid -> ranked [{docno, docid, score(np.float32)}], Ivory tie-break."""
     out: dict[str, list[dict]] = {}
     for q in queries:
-        qterms = Counter(tokenize_py(q["query"]))
+        qterms = Counter(get_tokenizer(oi.tokenizer).tokenize_py(q["query"]))
         docno_parts, termid_parts, contrib_parts = [], [], []
         for term, qtf in qterms.items():
             meta = oi.dictionary.get(term)

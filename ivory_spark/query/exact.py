@@ -22,7 +22,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ivory_spark.functions.scoring import bm25_idf, bm25_tf_part, f32_ordered_sum
-from ivory_spark.functions.tokenizer import tokenize_py
 from ivory_spark.index import codec
 from ivory_spark.index.reader import Index
 
@@ -35,17 +34,21 @@ def query_term_rows(
     the dictionary in RAM, RetrievalEnvironment.java:66-67).
     Returns ([(qid, termid, qtf, df), ...], sorted unique termids).
 
-    Query strings are tokenized with the *same* tokenizer as indexing
-    (RetrievalEnvironment.java:136-152,403-405); duplicate query tokens
+    Query strings are tokenized with the *same* tokenizer the index was
+    built with (index.properties['tokenizer'];
+    RetrievalEnvironment.java:136-152,403-405); duplicate query tokens
     fold into a qtf weight (TermCliqueSet.java:62-79 — duplicate cliques
     multiply the term's contribution).
 
     Rows are (qid, termid, qtf, df, cf) — cf is carried for the
     language-model scorers (Dirichlet/JM background probabilities)."""
+    from ivory_spark.functions.tokenizer import get_tokenizer
+
+    tok = get_tokenizer(index.properties.get("tokenizer", "code_v1")).tokenize_py
     per_q = []
     terms = set()
     for q in queries:
-        counts = sorted(Counter(tokenize_py(q["query"])).items())
+        counts = sorted(Counter(tok(q["query"])).items())
         per_q.append((q["qid"], counts))
         terms.update(t for t, _ in counts)
     if not terms:

@@ -24,7 +24,7 @@ from collections import Counter
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ivory_spark.functions.tokenizer import tokenize_py
+from ivory_spark.functions.tokenizer import get_tokenizer
 from ivory_spark.index.reader import Index
 
 
@@ -66,6 +66,7 @@ def expand_queries(
 
     from ivory_spark.query.exact import bm25_topk
 
+    tokenize = get_tokenizer(index.properties.get("tokenizer", "code_v1")).tokenize_py
     initial = bm25_topk(spark, index, queries, k=fb_docs, with_docid=False)
     fb = {}
     for r in initial.collect():
@@ -73,7 +74,7 @@ def expand_queries(
     all_docnos = sorted({d for ds in fb.values() for d in ds})
     if not all_docnos:
         return [
-            {"qid": q["qid"], "terms": _mix(tokenize_py(q["query"]), [], alpha)}
+            {"qid": q["qid"], "terms": _mix(tokenize(q["query"]), [], alpha)}
             for q in queries
         ]
     # mine only dictionary terms: the tdf artifact is pre-min_df/max_df
@@ -95,7 +96,7 @@ def expand_queries(
     for q in queries:
         recs = [rec for d in fb.get(q["qid"], []) for rec in by_doc.get(d, [])]
         exp = rm_weights(recs, fb_terms)
-        out.append({"qid": q["qid"], "terms": _mix(tokenize_py(q["query"]), exp, alpha)})
+        out.append({"qid": q["qid"], "terms": _mix(tokenize(q["query"]), exp, alpha)})
     return out
 
 
@@ -107,6 +108,7 @@ def oracle_expand_queries(
     from ivory_spark.oracle import oracle_topk
 
     oi = oracle_index
+    tokenize = get_tokenizer(oi.tokenizer).tokenize_py
     initial = oracle_topk(oi, queries, k=fb_docs)
     out = []
     for q in queries:
@@ -117,5 +119,5 @@ def oracle_expand_queries(
                 if d in posmap:
                     recs.append((term, d, len(posmap[d]), oi.doclens[d]))
         exp = rm_weights(recs, fb_terms)
-        out.append({"qid": q["qid"], "terms": _mix(tokenize_py(q["query"]), exp, alpha)})
+        out.append({"qid": q["qid"], "terms": _mix(tokenize(q["query"]), exp, alpha)})
     return out

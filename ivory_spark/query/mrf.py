@@ -48,7 +48,7 @@ from ivory_spark.functions.scoring import (
     bm25_tf_part,
     dirichlet_score,
 )
-from ivory_spark.functions.tokenizer import MAX_TF, tokenize_py
+from ivory_spark.functions.tokenizer import MAX_TF, get_tokenizer
 from ivory_spark.index import codec
 from ivory_spark.index.reader import Index
 
@@ -343,17 +343,18 @@ def mrf_topk(
     n_shards = props["n_shards"]
     k = model.k
 
-    all_terms = sorted({t for q in queries for t in tokenize_py(q["query"])})
+    tokenize = get_tokenizer(props.get("tokenizer", "code_v1")).tokenize_py
+    all_terms = sorted({t for q in queries for t in tokenize(q["query"])})
     dict_rows = index.dictionary.filter(F.col("term").isin(all_terms)).collect()
     stats = {r["term"]: (r["df"], r["cf"]) for r in dict_rows}
     term_by_id = {r["termid"]: r["term"] for r in dict_rows}
     termids = sorted(term_by_id)
 
     q_cliques = {
-        q["qid"]: build_cliques(tokenize_py(q["query"]), model) for q in queries
+        q["qid"]: build_cliques(tokenize(q["query"]), model) for q in queries
     }
     q_terms = {
-        q["qid"]: sorted(set(tokenize_py(q["query"])) & set(stats)) for q in queries
+        q["qid"]: sorted(set(tokenize(q["query"])) & set(stats)) for q in queries
     }
 
     if not termids:
@@ -441,7 +442,7 @@ def oracle_mrf_topk(
     stats = {t: (df, cf) for t, (tid, df, cf) in oi.dictionary.items()}
     out: dict[str, list[dict]] = {}
     for q in queries:
-        tokens = tokenize_py(q["query"])
+        tokens = get_tokenizer(getattr(oi, "tokenizer", "code_v1")).tokenize_py(q["query"])
         cliques = build_cliques(tokens, model)
         qterms = [t for t in sorted(set(tokens)) if t in stats]
         cand: set[int] = set()
