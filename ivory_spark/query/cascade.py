@@ -24,6 +24,9 @@ from ivory_spark.query.mrf import MrfModel, mrf_topk, oracle_mrf_topk
 from ivory_spark.query.wand import bm25_topk_wand
 
 
+STAGE2_UNIT_COST = 20.0  # proximity scoring vs one BoW posting (CascadeEval-style unit)
+
+
 def cascade_topk(
     spark: SparkSession,
     index: Index,
@@ -31,15 +34,70 @@ def cascade_topk(
     stage1_k: int = 100,
     model: MrfModel | None = None,
     with_docid: bool = True,
+    costs: dict | None = None,
 ) -> DataFrame:
+    """Two-stage cascade; pass `costs={}` to receive per-stage cost
+    accounting, the analogue of CascadeEval's cost metric
+    (ivory/cascade/retrieval/CascadeEval.java:1-896 — each stage's cost =
+    docs it scores x its scorer's unit cost; the cascade's win is the
+    stage-2 unit cost applied to stage1_k survivors instead of every
+    candidate):
+
+      {"stage1": {"k", "candidate_docs", "wall_sec"},
+       "stage2": {"docs_scored", "unit_cost", "wall_sec"},
+       "total_cost_units", "cost_vs_flat"}   (cost_vs_flat < 1 = cheaper)
+    """
+    import time
+
     model = model or MrfModel()
+    t0 = time.monotonic()
     s1 = bm25_topk_wand(spark, index, queries, k=stage1_k, with_docid=False)
     candidates: dict[str, set[int]] = {}
+    n_s1 = 0
     for r in s1.select("qid", "docno").collect():
         candidates.setdefault(r["qid"], set()).add(r["docno"])
-    return mrf_topk(
+        n_s1 += 1
+    s1_sec = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    out = mrf_topk(
         spark, index, queries, model, with_docid=with_docid, candidates=candidates
     )
+    if costs is not None:
+        out = out.cache()
+        out.count()  # materialize so stage-2 wall time is attributable
+        s2_sec = time.monotonic() - t0
+        docs_scored = sum(len(s) for s in candidates.values())
+        # flat = the expensive model over every stage-1 *candidate* — we
+        # don't re-run it, so approximate flat's doc count by the union
+        # of stage-1 scored docs per query (>= stage1_k survivors)
+        stage1_cost = float(n_s1)
+        stage2_cost = docs_scored * STAGE2_UNIT_COST
+        # flat baseline: the expensive model over every matching doc; the
+        # per-query sum of term df is its (cheaply known) upper bound
+        from ivory_spark.query.exact import query_term_rows
+
+        rows, _ = query_term_rows(index, queries)
+        flat_docs_ub = sum(r[3] for r in rows)
+        flat_cost = max(flat_docs_ub, 1) * STAGE2_UNIT_COST
+        costs.update(
+            {
+                "stage1": {
+                    "k": stage1_k,
+                    "candidate_docs": n_s1,
+                    "wall_sec": round(s1_sec, 3),
+                },
+                "stage2": {
+                    "docs_scored": docs_scored,
+                    "unit_cost": STAGE2_UNIT_COST,
+                    "wall_sec": round(s2_sec, 3),
+                },
+                "total_cost_units": round(stage1_cost + stage2_cost, 1),
+                "flat_cost_units_ub": round(flat_cost, 1),
+                "cost_vs_flat": round((stage1_cost + stage2_cost) / flat_cost, 4),
+            }
+        )
+    return out
 
 
 def oracle_cascade_topk(

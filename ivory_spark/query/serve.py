@@ -1,0 +1,135 @@
+"""Warm serving mode: driver-local single-query retrieval.
+
+Spark batch retrieval amortizes the plan+schedule floor (~2 s on this
+host) across a query batch; an ad-hoc single query pays it in full
+(BENCH r01: p50 2.2 s vs 249 ms amortized). This module is the serving
+tier: a long-lived process loads the dictionary once, reads only the
+candidate postings runs per query through pyarrow (the same termid
+row-group pruning the Spark scan gets), keeps a postings LRU, and runs
+the SAME block-max WAND kernel (query/wand._score_group) in-process —
+so served scores are bit-identical to the Spark exact path, WAND path
+and numpy oracle.
+
+This is the analogue of Ivory's long-lived broker + retrieval-server
+deployment (docs/clue.html:164-180 — partition servers hold the index
+hot, the broker fans out and merges): at 100 TB the index stays in the
+lake, N serving replicas each memory-map the dictionary and cache hot
+postings, and Spark remains the batch/analytics tier over the same
+artifacts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import Counter, OrderedDict
+
+import numpy as np
+import pandas as pd
+
+from ivory_spark.functions.tokenizer import get_tokenizer
+from ivory_spark.query.wand import _score_group
+
+
+class LocalSearcher:
+    """Serve top-k queries from an index_root without a SparkSession."""
+
+    def __init__(self, index_root: str, cache_runs: int = 4096):
+        import pyarrow.dataset as pads
+
+        with open(os.path.join(index_root, "properties.json")) as f:
+            self.props = json.load(f)
+        self._tokenize = get_tokenizer(
+            self.props.get("tokenizer", "code_v1")
+        ).tokenize_py
+        # in-RAM dictionary: term -> (termid, df) — Ivory keeps exactly
+        # this resident (RetrievalEnvironment.java:66-67)
+        dtab = pads.dataset(os.path.join(index_root, "dictionary")).to_table(
+            columns=["term", "termid", "df"]
+        )
+        self._dict = dict(
+            zip(
+                dtab["term"].to_pylist(),
+                zip(dtab["termid"].to_pylist(), dtab["df"].to_pylist()),
+            )
+        )
+        self._postings = pads.dataset(os.path.join(index_root, "postings"))
+        self._docmap = pads.dataset(os.path.join(index_root, "docmap"))
+        self._run_cache: OrderedDict[int, pd.DataFrame] = OrderedDict()
+        self._cache_runs = cache_runs
+
+    def _runs_for(self, termids: list[int]) -> pd.DataFrame:
+        import pyarrow.dataset as pads
+
+        missing = [t for t in termids if t not in self._run_cache]
+        if missing:
+            tab = self._postings.to_table(
+                columns=["termid", "df", "blob"],
+                filter=pads.field("termid").isin(missing),
+            )
+            pdf = tab.to_pandas()
+            for tid, grp in pdf.groupby("termid"):
+                self._run_cache[int(tid)] = grp.reset_index(drop=True)
+                self._run_cache.move_to_end(int(tid))
+            while len(self._run_cache) > self._cache_runs:
+                self._run_cache.popitem(last=False)
+        parts = [self._run_cache[t] for t in termids if t in self._run_cache]
+        for t in termids:
+            if t in self._run_cache:
+                self._run_cache.move_to_end(t)
+        return (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame({"termid": [], "df": [], "blob": []})
+        )
+
+    def docids(self, docnos: list[int]) -> dict[int, str]:
+        import pyarrow.dataset as pads
+
+        if not docnos:
+            return {}
+        tab = self._docmap.to_table(
+            columns=["docno", "repo", "path", "commit"],
+            filter=pads.field("docno").isin([int(d) for d in docnos]),
+        ).to_pandas()
+        return {
+            int(r.docno): f"{r.repo}/{r.path}@{r.commit}"
+            for r in tab.itertuples(index=False)
+        }
+
+    def search(self, query: str, k: int = 10, with_docid: bool = True) -> list[dict]:
+        """-> [{rank, docno[, docid], score}] — Ivory tie-break, scores
+        bit-identical to bm25_topk / bm25_topk_wand."""
+        p = self.props
+        counts = sorted(Counter(self._tokenize(query)).items())
+        rows = []
+        for term, qtf in counts:
+            meta = self._dict.get(term)
+            if meta is not None:
+                rows.append((int(meta[0]), int(qtf), int(meta[1])))
+        if not rows:
+            return []
+        termids = sorted({r[0] for r in rows})
+        runs = self._runs_for(termids)
+        qmeta = {tid: (qtf, df) for tid, qtf, df in rows}
+        runs = runs[runs["termid"].isin(termids)].copy()
+        runs["qtf"] = runs["termid"].map(lambda t: qmeta[int(t)][0])
+        d, s = _score_group(
+            runs,
+            p["n_docs"],
+            p["avgdl"],
+            p["k1"],
+            p["b"],
+            p["idf_mode"],
+            lo=1,
+            hi=p["n_docs"],
+            k=k,
+        )
+        ids = self.docids([int(x) for x in d]) if with_docid else {}
+        out = []
+        for i in range(len(d)):
+            row = {"rank": i + 1, "docno": int(d[i]), "score": np.float32(s[i])}
+            if with_docid:
+                row["docid"] = ids.get(int(d[i]), "")
+            out.append(row)
+        return out

@@ -103,3 +103,21 @@ def test_bloom_oov_term_empty(spark, pos_idx):
         spark, pos_idx, blooms, ["import", "nonexistent_token_xyzzy"]
     )
     assert out.count() == 0
+
+
+def test_cascade_cost_accounting(spark, pos_idx):
+    """costs= receives CascadeEval-style per-stage accounting and the
+    ranking is unchanged by instrumentation."""
+    model = MrfModel(dependence="sd", k=5)
+    costs = {}
+    with_costs = cascade_topk(spark, pos_idx, QS[:2], stage1_k=10, model=model,
+                              costs=costs).collect()
+    plain = cascade_topk(spark, pos_idx, QS[:2], stage1_k=10, model=model).collect()
+    assert [(r["qid"], r["docno"], r["score"]) for r in with_costs] == [
+        (r["qid"], r["docno"], r["score"]) for r in plain
+    ]
+    assert costs["stage1"]["k"] == 10
+    assert 0 < costs["stage2"]["docs_scored"] <= costs["stage1"]["candidate_docs"]
+    assert costs["total_cost_units"] > 0
+    assert 0 < costs["cost_vs_flat"]
+    assert costs["stage1"]["wall_sec"] >= 0 and costs["stage2"]["wall_sec"] >= 0

@@ -1,0 +1,52 @@
+"""Warm serving mode (query/serve.LocalSearcher): bit-identical to the
+Spark paths and the numpy oracle, and fast enough for ad-hoc queries
+(the Spark plan/schedule floor is the thing it exists to avoid)."""
+
+import time
+
+import numpy as np
+import pytest
+
+from ivory_spark.corpus import QUERY_SET
+from ivory_spark.index.build import IndexConfig, build_index
+from ivory_spark.oracle import build_oracle_index, oracle_topk
+from ivory_spark.query.serve import LocalSearcher
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def served(spark, tiny_corpus_path, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("idx_serve") / "default")
+    build_index(spark, tiny_corpus_path, root, IndexConfig())
+    return LocalSearcher(root)
+
+
+def test_serve_matches_oracle(served, tiny_corpus):
+    oi = build_oracle_index(tiny_corpus.drop(columns=["sha256"]))
+    golden = oracle_topk(oi, QUERY_SET, k=K)
+    for q in QUERY_SET:
+        got = served.search(q["query"], k=K)
+        want = golden[q["qid"]]
+        assert [g["docno"] for g in got] == [w["docno"] for w in want], q["qid"]
+        assert [g["docid"] for g in got] == [w["docid"] for w in want], q["qid"]
+        gb = np.array([g["score"] for g in got], dtype=np.float32).view(np.uint32)
+        wb = np.array([w["score"] for w in want], dtype=np.float32).view(np.uint32)
+        assert np.array_equal(gb, wb), q["qid"]
+
+
+def test_serve_oov_and_empty(served):
+    assert served.search("zzz_does_not_exist") == []
+    assert served.search("") == []
+
+
+def test_serve_warm_latency(served):
+    served.search(QUERY_SET[0]["query"], k=K)  # warm the run cache
+    t0 = time.perf_counter()
+    n = 20
+    for _ in range(n):
+        served.search(QUERY_SET[0]["query"], k=K)
+    per_query_ms = (time.perf_counter() - t0) / n * 1000
+    # the bar is <500 ms p50 (BENCH target); warm in-process serving
+    # should be orders of magnitude under it even on a loaded host
+    assert per_query_ms < 200, per_query_ms

@@ -23,26 +23,53 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--index-root", required=True)
     p.add_argument("--queries", required=True, help=".xml (Ivory format) or .jsonl")
-    p.add_argument("--model", default="bm25", choices=["bm25", "sd", "fd"])
+    p.add_argument(
+        "--model",
+        default="bm25",
+        choices=["bm25", "sd", "fd", "dirichlet", "jm", "tfidf", "f2exp"],
+    )
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--scorer", default="wand", choices=["wand", "exact"])
     p.add_argument("--output", default=None, help="TREC run file (.gz ok)")
     p.add_argument("--tag", default="ivory_spark")
+    p.add_argument(
+        "--serve",
+        action="store_true",
+        help="warm serving mode: no Spark, driver-local WAND kernel "
+        "(bm25 only; bit-identical scores, ~ms latency)",
+    )
     args = p.parse_args()
 
-    from ivory_spark.index.reader import open_index
     from ivory_spark.query.batch import parse_query_jsonl, parse_query_xml, write_trec_run
-    from ivory_spark.session import get_spark
 
-    spark = get_spark("ivory-query")
-    index = open_index(spark, args.index_root)
     queries = (
         parse_query_xml(args.queries)
         if args.queries.endswith(".xml")
         else parse_query_jsonl(args.queries)
     )
 
-    if args.model == "bm25":
+    if args.serve:
+        if args.model != "bm25":
+            raise SystemExit("--serve supports bm25 only")
+        from ivory_spark.query.serve import LocalSearcher
+
+        searcher = LocalSearcher(args.index_root)
+        for q in queries:
+            for r in searcher.search(q["query"], k=args.k):
+                print(f"{q['qid']} Q0 {r['docid']} {r['rank']} {r['score']:.6f} {args.tag}")
+        return
+
+    from ivory_spark.index.reader import open_index
+    from ivory_spark.session import get_spark
+
+    spark = get_spark("ivory-query")
+    index = open_index(spark, args.index_root)
+
+    if args.model in ("dirichlet", "jm", "tfidf", "f2exp"):
+        from ivory_spark.query.exact import scored_topk
+
+        res = scored_topk(spark, index, queries, scorer=args.model, k=args.k)
+    elif args.model == "bm25":
         if args.scorer == "wand":
             from ivory_spark.query.wand import bm25_topk_wand
 
