@@ -251,7 +251,7 @@ def _engine_prf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     index = _engine_index(spark, sf_dir)
     wq = expand_queries(spark, index, IR.GATE_QUERIES, fb_docs=5, fb_terms=8)
-    return bm25_topk(spark, index, wq, k=10, weighted=True)
+    return _round4(bm25_topk(spark, index, wq, k=10, weighted=True))
 
 
 # ---------------------------------------------------------------------------
@@ -528,6 +528,79 @@ FROM top t JOIN edocmap d USING (docno) WHERE t.rank <= {k}
 """
 
 
+def _sql_engine_prf_top10(fb_docs: int = 5, fb_terms: int = 8, alpha: float = 0.5, k: int = 10) -> str:
+    """DuckDB twin of expand_queries + bm25_topk(weighted=True):
+    stage 1 = float32 BM25 top-fb_docs (same emulation as the bm25
+    oracle); RM mining reproduces expander.rm_weights' docno-ordered
+    double folds via list_reduce; mixing matches _mix's operation order;
+    the weighted rerun casts each mixed weight to float32 exactly as the
+    weighted query table stores it."""
+    from collections import Counter
+
+    from ivory_spark.functions.tokenizer import tokenize_py
+
+    qtot_rows = []
+    for q in IR.GATE_QUERIES:
+        qtot_rows.append(f"('{q['qid']}', {sum(Counter(tokenize_py(q['query'])).values())})")
+    one_minus_alpha = repr(1.0 - alpha)
+    return f"""
+WITH {_ENGINE_CTES}, {_sql_engine_query_values(IR.GATE_QUERIES)},
+qtot(qid, qtotal) AS (VALUES {", ".join(qtot_rows)}),
+contrib1 AS (
+  SELECT eq.qid, etf.docno, edict.termid, {_F32_BM25_CONTRIB} AS c
+  FROM eq JOIN edict USING (term) JOIN etf USING (term)
+  JOIN edl ON edl.docno = etf.docno CROSS JOIN egl),
+s1 AS (SELECT qid, docno,
+       list_reduce(list(c ORDER BY termid), (a, b) -> (a + b)::FLOAT) AS score
+       FROM contrib1 GROUP BY qid, docno),
+fb AS (SELECT qid, docno FROM (
+        SELECT qid, docno,
+               row_number() OVER (PARTITION BY qid ORDER BY score DESC, docno DESC) AS rnk
+        FROM s1) WHERE rnk <= {fb_docs}),
+recs AS (SELECT fb.qid, etf.term, etf.docno, etf.tf, edl.dl
+         FROM fb JOIN etf USING (docno) JOIN edl ON edl.docno = fb.docno
+         JOIN edict ON edict.term = etf.term),
+rmw AS (SELECT qid, term,
+        list_reduce(list(tf::DOUBLE / dl::DOUBLE ORDER BY docno), (a, b) -> a + b) AS w
+        FROM recs WHERE dl > 0 GROUP BY qid, term),
+kept AS (SELECT qid, term, w FROM (
+          SELECT qid, term, w,
+                 row_number() OVER (PARTITION BY qid ORDER BY w DESC, term) AS rnk
+          FROM rmw) WHERE rnk <= {fb_terms}),
+tot AS (SELECT qid,
+        list_reduce(list(w ORDER BY w DESC, term), (a, b) -> a + b) AS total
+        FROM kept GROUP BY qid),
+expw AS (SELECT kept.qid, kept.term, {alpha!r} * (kept.w / tot.total) AS wexp
+         FROM kept JOIN tot ON tot.qid = kept.qid),
+orig AS (SELECT eq.qid, eq.term,
+         {one_minus_alpha} * (eq.qtf::DOUBLE / qtot.qtotal::DOUBLE) AS worig
+         FROM eq JOIN qtot ON qtot.qid = eq.qid),
+mixed AS (SELECT coalesce(o.qid, e.qid) AS qid, coalesce(o.term, e.term) AS term,
+          coalesce(o.worig, 0.0) + coalesce(e.wexp, 0.0) AS wt
+          FROM orig o FULL JOIN expw e ON o.qid = e.qid AND o.term = e.term),
+contrib2 AS (
+  SELECT m.qid, etf.docno, edict.termid,
+    ((m.wt::FLOAT) * (
+       (ln((egl.n::DOUBLE - edict.df::DOUBLE + 0.5) / (edict.df::DOUBLE + 0.5))::FLOAT)
+       * (((1.2::FLOAT + 1.0::FLOAT) * etf.tf::FLOAT)
+          / ((1.2::FLOAT * ((1.0::FLOAT - 0.75::FLOAT)
+               + (0.75::FLOAT * (edl.dl::FLOAT / {_F32_AVGDL}))))
+             + etf.tf::FLOAT)))) AS c
+  FROM mixed m JOIN edict ON edict.term = m.term
+  JOIN etf ON etf.term = m.term
+  JOIN edl ON edl.docno = etf.docno CROSS JOIN egl),
+s2 AS (SELECT qid, docno,
+       list_reduce(list(c ORDER BY termid), (a, b) -> (a + b)::FLOAT) AS score
+       FROM contrib2 GROUP BY qid, docno),
+top AS (SELECT qid, docno, score,
+        row_number() OVER (PARTITION BY qid ORDER BY score DESC, docno DESC)::INT AS rank
+        FROM s2)
+SELECT t.qid, t.rank, t.docno, {_ENGINE_DOCID} AS docid,
+       round(t.score::DOUBLE, 4) AS score
+FROM top t JOIN edocmap d USING (docno) WHERE t.rank <= {k}
+"""
+
+
 def _ann_queries(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     return emb, SIM.query_vectors(spark, emb, n=10)
@@ -754,4 +827,5 @@ FROM agg""",
         "engine_f2exp_top10": _sql_engine_scored_top10("f2exp"),
         "engine_sd_top10": _sql_engine_sd_top10(),
         "ann_lsh_top5": _sql_ann_lsh_top5(),
+        "engine_prf_top10": _sql_engine_prf_top10(),
     }
