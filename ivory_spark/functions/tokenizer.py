@@ -220,6 +220,64 @@ def get_tokenizer(name: str) -> TokenizerSpec:
     return TOKENIZERS[name]
 
 
+# ---------------------------------------------------------------------------
+# cjk_bigram: multilingual path for unsegmented CJK scripts — latin/digit
+# runs tokenize as words, CJK runs emit overlapping character bigrams (the
+# standard Lucene-CJKAnalyzer strategy Ivory uses for its Chinese corpora,
+# ivory/core/tokenize/*Tokenizer.java multilingual family; reproduced
+# behavior). Single isolated CJK chars emit as unigrams so they remain
+# searchable.
+# ---------------------------------------------------------------------------
+
+_CJK_RANGES = (
+    (0x2E80, 0x303F),   # CJK radicals + punctuation-adjacent symbols
+    (0x3040, 0x30FF),   # hiragana + katakana
+    (0x3400, 0x4DBF),   # CJK ext A
+    (0x4E00, 0x9FFF),   # CJK unified
+    (0xF900, 0xFAFF),   # CJK compat
+    (0xAC00, 0xD7AF),   # hangul syllables
+)
+
+
+def _is_cjk(ch: str) -> bool:
+    cp = ord(ch)
+    return any(lo <= cp <= hi for lo, hi in _CJK_RANGES)
+
+
+_LATIN_RX = re.compile(r"[a-z0-9]+")
+
+
+def cjk_bigram_tokenize_py(content: str) -> list[str]:
+    if not content:
+        return []
+    out: list[str] = []
+    run: list[str] = []  # current CJK run
+
+    def flush():
+        if len(run) == 1:
+            out.append(run[0])
+        else:
+            out.extend(run[i] + run[i + 1] for i in range(len(run) - 1))
+        run.clear()
+
+    buf: list[str] = []  # current latin run
+    for ch in content.lower():
+        if _is_cjk(ch):
+            if buf:
+                out.extend(t for t in _LATIN_RX.findall("".join(buf)))
+                buf.clear()
+            run.append(ch)
+        else:
+            if run:
+                flush()
+            buf.append(ch)
+    if run:
+        flush()
+    if buf:
+        out.extend(_LATIN_RX.findall("".join(buf)))
+    return [t for t in out if len(t) <= MAX_TOKEN_LEN]
+
+
 register_tokenizer(TokenizerSpec("code_v1", tokenize_py, doc_terms, doc_terms_positional))
 register_tokenizer(
     TokenizerSpec(
@@ -227,5 +285,13 @@ register_tokenizer(
         galago_tokenize_py,
         _python_doc_terms(galago_tokenize_py, positional=False),
         _python_doc_terms(galago_tokenize_py, positional=True),
+    )
+)
+register_tokenizer(
+    TokenizerSpec(
+        "cjk_bigram",
+        cjk_bigram_tokenize_py,
+        _python_doc_terms(cjk_bigram_tokenize_py, positional=False),
+        _python_doc_terms(cjk_bigram_tokenize_py, positional=True),
     )
 )

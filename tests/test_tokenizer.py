@@ -144,3 +144,38 @@ def test_galago_doc_terms_spark_matches_py(spark):
         for t, p in _positions_from_tokens(galago_tokenize_py(c)).items():
             want[(dn, t)] = (len(p), tuple(p))
     assert got == want
+
+
+def test_cjk_bigram_tokenizer():
+    from ivory_spark.functions.tokenizer import cjk_bigram_tokenize_py as tok
+
+    # pure CJK run -> overlapping bigrams
+    assert tok("中文分词") == ["中文", "文分", "分词"]
+    # isolated single CJK char -> unigram
+    assert tok("a 中 b") == ["a", "中", "b"]
+    # mixed latin + CJK, latin lowercased and split on non-alnum
+    assert tok("Spark中文SQL v2") == ["spark", "中文", "sql", "v2"]
+    # hangul + kana count as CJK runs
+    assert tok("한국어") == ["한국", "국어"]
+    assert tok("") == []
+
+
+def test_cjk_bigram_end_to_end_search(spark, tmp_path):
+    """Build + query a tiny CJK corpus through the registry path."""
+    from ivory_spark.index.build import IndexConfig, build_index
+    from ivory_spark.index.reader import open_index
+    from ivory_spark.query.exact import bm25_topk
+
+    rows = [
+        ("r1", "a", "c1", "zh", "中文分词 很有用"),
+        ("r1", "b", "c2", "zh", "英文 text here"),
+        ("r1", "c", "c3", "zh", "nothing relevant at all"),
+    ]
+    df = spark.createDataFrame(rows, "repo string, path string, commit string, lang string, content string")
+    corpus_path = str(tmp_path / "cjk.parquet")
+    df.write.parquet(corpus_path)
+    root = str(tmp_path / "idx")
+    build_index(spark, corpus_path, root, IndexConfig(tokenizer="cjk_bigram"))
+    idx = open_index(spark, root)
+    hits = bm25_topk(spark, idx, [{"qid": "q", "query": "中文"}], k=3).collect()
+    assert hits and hits[0]["docid"].startswith("r1/a@")
