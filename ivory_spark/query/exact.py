@@ -21,7 +21,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ivory_spark.functions.scoring import bm25_idf, bm25_tf_part, f32_ordered_sum
+from ivory_spark.functions.scoring import bm25_idf, bm25_tf_part, group_sum_f32
 from ivory_spark.index import codec
 from ivory_spark.index.reader import Index
 
@@ -203,24 +203,32 @@ def bm25_topk(
     return _rank_topk(index, scored, k, with_docid)
 
 
+_FOLD_SHARDS = 64
+
+
 def _fold_scores(cand: DataFrame) -> DataFrame:
     """(qid, docno, score): canonical termid-ordered float32 fold of the
     per-term `contrib` column — the single accumulation rule every scorer
-    path shares (see functions/scoring.py module docstring)."""
+    path shares (see functions/scoring.py module docstring).
 
-    @F.pandas_udf("float")
-    def fold_udf(contribs: pd.Series) -> pd.Series:
-        # canonical float32 accumulation: already termid-sorted via sort_array
-        return pd.Series(
-            [f32_ordered_sum(np.asarray([c["contrib"] for c in arr], dtype=np.float32))
-             for arr in contribs]
+    Executed as group_sum_f32 over (qid, docno-hash-shard) groups: the
+    whole shard folds in one vectorized lexsort+reduceat call instead of
+    a Python loop per (qid, docno) (VERDICT r01), and sharding by docno
+    hash keeps any one query's candidate set distributed while every
+    docno's contributions stay co-grouped (the fold is per-docno, so any
+    docno-complete partitioning is score-preserving)."""
+
+    def fold(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        d, s = group_sum_f32(
+            pdf["docno"].to_numpy(), pdf["termid"].to_numpy(), pdf["contrib"].to_numpy()
         )
+        return pd.DataFrame({"qid": np.repeat(key[0], len(d)), "docno": d, "score": s})
 
     return (
-        cand.groupBy("qid", "docno")
-        .agg(F.sort_array(F.collect_list(F.struct("termid", "contrib"))).alias("cs"))
-        .withColumn("score", fold_udf("cs"))
-        .drop("cs")
+        cand.select("qid", "docno", "termid", "contrib")
+        .withColumn("_shard", F.pmod(F.col("docno"), F.lit(_FOLD_SHARDS)))
+        .groupBy("qid", "_shard")
+        .applyInPandas(fold, schema="qid string, docno long, score float")
     )
 
 

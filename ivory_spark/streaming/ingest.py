@@ -49,6 +49,38 @@ def incremental_term_stats(stream: DataFrame, watermark: str = "10 minutes") -> 
     )
 
 
+def streaming_exact_dedup(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming arm of the exact-dedup north rule: drop any document
+    whose sha256(content) was already seen within the watermark horizon
+    (dropDuplicatesWithinWatermark keeps state bounded — the streaming
+    analogue of build_docmap's batch groupBy winner). Docs surviving here
+    still dedup against the batch index at compaction time."""
+    hashed = stream.withWatermark("ingest_ts", watermark).withColumn(
+        "sha256", F.sha2(F.col("content"), 256)
+    )
+    return hashed.dropDuplicatesWithinWatermark(["sha256"])
+
+
+def streaming_quality_filter(
+    stream: DataFrame, min_tokens: int = 5, max_stopword_ratio: float = 0.9
+) -> DataFrame:
+    """Stateless quality gate on the ingest stream: the textstats column
+    expressions compose directly onto readStream (JVM codegen, no state),
+    so low-quality docs are dropped before they cost index work."""
+    toks = tokens_expr(F.col("content"))
+    from ivory_spark.ops.textstats import STOPWORDS_EN
+
+    stop_arr = F.array(*[F.lit(s) for s in sorted(STOPWORDS_EN)])
+    n = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return (
+        stream.withColumn("_n", n)
+        .withColumn("_sr", F.when(F.col("_n") > 0, n_stop / F.col("_n")).otherwise(F.lit(1.0)))
+        .filter((F.col("_n") >= min_tokens) & (F.col("_sr") <= max_stopword_ratio))
+        .drop("_n", "_sr")
+    )
+
+
 def run_to_memory(df: DataFrame, name: str):
     """Drain all available input synchronously into a memory table."""
     q = (

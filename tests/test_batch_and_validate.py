@@ -144,3 +144,61 @@ def test_streaming_term_stats(spark, tiny_corpus, tmp_path):
     for c in pdf["content"]:
         want.update(tokenize_py(c))
     assert got == dict(want)
+
+
+def test_streaming_exact_dedup(spark, tiny_corpus, tmp_path):
+    import pandas as pd
+
+    from ivory_spark.streaming.ingest import (
+        read_document_stream,
+        run_to_memory,
+        streaming_exact_dedup,
+    )
+
+    pdf = tiny_corpus.head(60).drop(columns=["sha256"]).copy()
+    pdf["ingest_ts"] = pd.Timestamp("2026-01-01 00:00:00")
+    stream_dir = str(tmp_path / "sdedup")
+    os.makedirs(stream_dir)
+    pdf.to_parquet(os.path.join(stream_dir, "batch0.parquet"), index=False)
+
+    run_to_memory(streaming_exact_dedup(read_document_stream(spark, stream_dir)), "sdedup")
+    got = spark.sql("select * from sdedup").toPandas()
+    # one survivor per distinct content (tiny_corpus plants duplicates)
+    assert len(got) == pdf["content"].nunique()
+    assert got["sha256"].is_unique
+
+
+def test_streaming_quality_filter(spark, tmp_path):
+    import pandas as pd
+
+    from ivory_spark.streaming.ingest import (
+        read_document_stream,
+        run_to_memory,
+        streaming_quality_filter,
+    )
+
+    rows = pd.DataFrame(
+        {
+            "repo": ["r"] * 3,
+            "path": ["a", "b", "c"],
+            "commit": ["1", "2", "3"],
+            "lang": ["en"] * 3,
+            "content": [
+                "def good_function(arg): return arg + compute(arg)",  # keeps
+                "x",  # too short
+                "the the the the the the",  # all stopwords
+            ],
+            "ingest_ts": [pd.Timestamp("2026-01-01")] * 3,
+        }
+    )
+    rows["ingest_ts"] = rows["ingest_ts"].astype("datetime64[us]")
+    stream_dir = str(tmp_path / "squal")
+    os.makedirs(stream_dir)
+    rows.to_parquet(os.path.join(stream_dir, "b0.parquet"), index=False)
+
+    run_to_memory(
+        streaming_quality_filter(read_document_stream(spark, stream_dir), min_tokens=5),
+        "squal",
+    )
+    got = spark.sql("select path from squal").toPandas()
+    assert sorted(got["path"]) == ["a"]
