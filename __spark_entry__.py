@@ -679,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_top5": lambda s, d: SIM.lsh_bucketed_topk(*_ann_queries(s, d), k=5),
         # --- text analysis ------------------------------------------------
         "text_token_count": lambda s, d: TS.token_count(_docs(s, d)),
+        "text_bpe_token_count": lambda s, d: TS.bpe_token_count(_docs(s, d)),
         "text_quality": lambda s, d: TS.quality_score(_docs(s, d)),
         "text_langid": lambda s, d: TS.langid(_docs(s, d)),
         "text_fingerprint": lambda s, d: TS.fingerprint(_docs(s, d)),
@@ -815,6 +816,17 @@ SELECT doc_id, n::INT AS n_tokens,
               + least(ns / greatest(n, 1) * 5.0, 1.0)
               + nd / greatest(n, 1)) / 3.0, 6) AS quality
 FROM agg""",
+        "text_bpe_token_count": """
+WITH b AS (SELECT doc_id,
+    regexp_extract_all(lower(text),
+      '''(?:[sdmt]|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s'']+|\\s+') AS p,
+    len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_ws
+  FROM documents)
+SELECT doc_id, len(p)::INT AS n_pieces,
+       len(list_filter(p, x -> trim(x) <> ''))::INT AS n_word_pieces,
+       round(len(list_filter(p, x -> trim(x) <> '')) / greatest(n_ws, 1), 6)
+         AS pieces_per_ws_token
+FROM b""",
         "text_langid": _sql_langid(),
         "text_fingerprint": "SELECT doc_id, substr(md5(array_to_string("
         "list_filter(string_split(lower(text), ' '), x -> x <> ''), ' ')), 1, 16) AS fp16 "

@@ -119,13 +119,23 @@ def build_docmap(
     spark: SparkSession, corpus: DataFrame, partitions: int
 ) -> tuple[DataFrame, int, DataFrame]:
     """Dedup by sha256(content) (deterministic winner = min identity),
-    then assign dense 1-based docnos ordered by (repo, path, commit)."""
+    then assign dense 1-based docnos ordered by (repo, path, commit).
+
+    Winner selection is a single window over sha256 — one keyed shuffle
+    of the corpus instead of the groupBy(min-struct) + semi-join pair
+    (which shuffles twice and rescans), and exactly one survivor per
+    hash even for fully-identical rows (matching the oracle's
+    drop_duplicates semantics)."""
+    from pyspark.sql import Window
+
     hashed = corpus.withColumn("sha256", F.sha2(F.col("content"), 256))
     w_cols = ["repo", "path", "commit"]
-    winner = hashed.groupBy("sha256").agg(
-        F.min(F.struct(*w_cols)).alias("w")
-    ).select("sha256", F.col("w.repo").alias("repo"), F.col("w.path").alias("path"), F.col("w.commit").alias("commit"))
-    dedup = hashed.join(winner, ["sha256", "repo", "path", "commit"], "left_semi")
+    w = Window.partitionBy("sha256").orderBy(*w_cols)
+    dedup = (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     return assign_sequential_ids(dedup, w_cols, "docno", partitions)
 
 

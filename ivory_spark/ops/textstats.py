@@ -43,6 +43,35 @@ def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+# GPT-2-style pretokenizer pattern restricted to the RE2/Java-common
+# subset (no unicode categories): contraction suffixes, space-prefixed
+# letter runs, digit runs, punctuation runs, residual whitespace. Counts
+# these pretoken pieces ~ BPE token count upper-bound estimator for
+# budgeting LLM training data (each piece splits into >= 1 BPE tokens).
+BPE_ISH_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+|\s+"
+
+
+def bpe_token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_pieces, n_word_pieces, pieces_per_ws_token): BPE-ish
+    subword-boundary counting over lowercased text — the 'token counting
+    (whitespace + a BPE-ish regex)' pipeline op. Pure JVM regex
+    (codegen); DuckDB reproduces it with the same RE2-compatible
+    pattern."""
+    pieces = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_ISH_PATTERN), 0)
+    word_pieces = F.filter(pieces, lambda p: F.trim(p) != "")
+    ws = _tokens(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        F.size(pieces).alias("n_pieces"),
+        F.size(word_pieces).alias("n_word_pieces"),
+        F.round(
+            F.size(word_pieces)
+            / F.greatest(F.size(ws), F.lit(1)).cast("double"),
+            6,
+        ).alias("pieces_per_ws_token"),
+    )
+
+
 def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, n_tokens, avg_token_len, stopword_ratio, distinct_ratio,
     quality) — quality = mean of clamped heuristics, rounded to 6 dp."""
