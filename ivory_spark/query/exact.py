@@ -253,6 +253,7 @@ def scored_topk(
     params: dict | None = None,
     k: int = 10,
     with_docid: bool = True,
+    lm_prune: bool = True,
 ) -> DataFrame:
     """Engine-native bag-of-words retrieval for the non-BM25 scoring
     functions, over the same postings-blob index as the BM25 paths.
@@ -272,8 +273,12 @@ def scored_topk(
     Accumulation is the canonical termid-ordered float32 fold, so scores
     are bit-identical to the numpy oracle and reproducible by the
     float32-emulating DuckDB gate oracles. Dirichlet/JM scores are
-    negative, so MaxScore/WAND bounds don't apply — this is the exact
-    path (a bounded upper-bound transform is future work).
+    negative, so classic MaxScore/WAND bounds don't apply; instead
+    (lm_prune=True) a matrix-free double-precision prescore — exact via
+    the separable background sum — selects the per-query top-k plus a
+    margin dominating the float32 fold error, and only those survivors
+    get the full query-term matrix + canonical fold. Output is unchanged
+    (gate-verified); the candidates x terms blowup is gone.
     """
     from ivory_spark.functions.scoring import (
         dirichlet_score,
@@ -298,8 +303,84 @@ def scored_topk(
 
     postings = _decode_runs(candidate_postings(index, termids))
     if scorer in ("dirichlet", "jm"):
-        # full candidate x query-term matrix with tf=0 background rows
-        cands = postings.join(F.broadcast(qt), "termid").select("qid", "docno").distinct()
+        matched = postings.join(F.broadcast(qt), "termid")
+        if lm_prune and k > 0:
+            # ---- matrix-free double prescore (the LM scale path) ----
+            # The background sum over ABSENT terms is analytically
+            # separable, so the exact score is computable from present
+            # rows alone:
+            #   dirichlet: score(d) = sum_present qtf*(ln(tf+bg_t)-ln(bg_t))
+            #                         + C_q - Q*ln(dl+mu)
+            #   jm:        score(d) = sum_present qtf*(ln((1-l)tf/dl+l*bg't)
+            #                         - ln(l*bg't)) + C_q
+            # (bg_t = mu*cf_t/clen, bg't = cf_t/clen, C_q/Q query consts).
+            # Candidates x query-terms materialization then happens only
+            # for the docs whose double prescore clears the per-qid k-th
+            # best minus a margin that dominates the float32 fold error —
+            # survivors are re-scored with the canonical float32 fold, so
+            # output is unchanged (gate-verified). This removes the
+            # |candidates| x |terms| blowup that made LM scoring the
+            # most expensive engine path at scale.
+            import math
+
+            mu = (params or {}).get("mu", 2500.0)
+            lam = (params or {}).get("lambda", 0.5)
+            qconst: dict[str, tuple[float, float]] = {}
+            for qid, termid, qtf, df, cf in rows:
+                bg = (mu * cf / clen) if scorer == "dirichlet" else (lam * cf / clen)
+                c, qsum = qconst.get(qid, (0.0, 0.0))
+                qconst[qid] = (c + qtf * math.log(bg), qsum + qtf)
+            qc = spark.createDataFrame(
+                [(qid, c, qsum) for qid, (c, qsum) in qconst.items()],
+                "qid string, cq double, qsum double",
+            )
+            if scorer == "dirichlet":
+                bg_e = F.lit(mu) * F.col("cf").cast("double") / F.lit(float(clen))
+                delta = F.col("qtf").cast("double") * (
+                    F.log(F.col("tf").cast("double") + bg_e) - F.log(bg_e)
+                )
+            else:
+                bg_e = F.lit(lam) * F.col("cf").cast("double") / F.lit(float(clen))
+                delta = F.col("qtf").cast("double") * (
+                    F.log(
+                        F.lit(1.0 - lam) * F.col("tf").cast("double")
+                        / F.greatest(F.col("dl"), F.lit(1)).cast("double")
+                        + bg_e
+                    )
+                    - F.log(bg_e)
+                )
+            pre = (
+                matched.withColumn("_delta", delta)
+                .groupBy("qid", "docno")
+                .agg(F.sum("_delta").alias("pd"), F.max("dl").alias("dl"))
+                .join(F.broadcast(qc), "qid")
+            )
+            if scorer == "dirichlet":
+                score_dbl = (
+                    F.col("pd") + F.col("cq")
+                    - F.col("qsum") * F.log(F.col("dl").cast("double") + F.lit(mu))
+                )
+            else:
+                score_dbl = F.col("pd") + F.col("cq")
+            pre = pre.withColumn("_sd", score_dbl)
+            w = Window.partitionBy("qid").orderBy(F.desc("_sd"))
+            cutoff = (
+                pre.withColumn("_r", F.row_number().over(w))
+                .filter(F.col("_r") <= k)
+                .groupBy("qid")
+                .agg(F.min("_sd").alias("_cut"))
+            )
+            # margin >> float32 fold error (~n_terms * ulp(|score|))
+            cands = (
+                pre.join(F.broadcast(cutoff), "qid")
+                .filter(
+                    F.col("_sd")
+                    >= F.col("_cut") - (F.lit(1e-3) * (F.abs(F.col("_cut")) + F.lit(1.0)))
+                )
+                .select("qid", "docno")
+            )
+        else:
+            cands = matched.select("qid", "docno").distinct()
         cand = (
             cands.join(F.broadcast(qt), "qid")
             .join(postings.select("termid", "docno", "tf"), ["termid", "docno"], "left")

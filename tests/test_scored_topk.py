@@ -59,3 +59,14 @@ def test_scored_topk_oov_only(spark, index):
         scored_topk(spark, index, [{"qid": "x", "query": "zzzqqq_nope"}], scorer="jm").count()
         == 0
     )
+
+
+@pytest.mark.parametrize("scorer", ["dirichlet", "jm"])
+def test_lm_prune_output_identical(spark, index, scorer):
+    """The matrix-free prescore path returns exactly the full-matrix
+    result (selection margin dominates the float32 fold error)."""
+    a = scored_topk(spark, index, QUERY_SET, scorer=scorer, k=K, lm_prune=True).collect()
+    b = scored_topk(spark, index, QUERY_SET, scorer=scorer, k=K, lm_prune=False).collect()
+    assert [(r["qid"], r["docno"], r["score"]) for r in a] == [
+        (r["qid"], r["docno"], r["score"]) for r in b
+    ]
