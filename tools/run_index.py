@@ -4,7 +4,7 @@ Usage:
   spark-submit --py-files ivory_spark.zip tools/run_index.py \
       --corpus /path/corpus.parquet --index-root /path/index \
       [--positional] [--min-df 1] [--salt-threshold 250000] \
-      [--n-shards 32] [--partitions N] [--validate]
+      [--n-shards 32] [--partitions N] [--tokenizer code_v1] [--validate]
 
 (The analogue of Ivory's `PreprocessCollection` + `BuildIndex` drivers,
 app/PreprocessCollection.java:92-207 / app/BuildIndex.java:50-128.)
@@ -30,6 +30,10 @@ def main() -> None:
     p.add_argument("--salt-threshold", type=int, default=250_000)
     p.add_argument("--n-shards", type=int, default=32)
     p.add_argument("--partitions", type=int, default=None)
+    p.add_argument(
+        "--tokenizer", default="code_v1",
+        help="analysis chain: code_v1 | galago_en (stoplist+Porter) | cjk_bigram",
+    )
     p.add_argument("--validate", action="store_true")
     args = p.parse_args()
 
@@ -40,6 +44,7 @@ def main() -> None:
     cfg = IndexConfig(
         min_df=args.min_df, max_df=args.max_df, salt_threshold=args.salt_threshold,
         n_shards=args.n_shards, partitions=args.partitions, positional=args.positional,
+        tokenizer=args.tokenizer,
     )
     props = build_index(spark, args.corpus, args.index_root, cfg)
     if args.validate:
