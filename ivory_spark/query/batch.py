@@ -98,13 +98,22 @@ def run_batch(
     exact relational plan."""
     model = model or Model()
     if model.scorer == "bm25":
-        if use_wand:
+        props = index.properties
+        overridden = any(
+            model.params.get(key) is not None
+            and model.params[key] != props[prop]
+            for key, prop in (("k1", "k1"), ("b", "b"), ("idf", "idf_mode"))
+            if key in model.params
+        )
+        if use_wand and not overridden:
             from ivory_spark.query.wand import bm25_topk_wand
 
             return bm25_topk_wand(spark, index, queries, k=model.k)
+        # model-XML k1/b/idf overrides: the stored block-max bounds are
+        # k1/b-specific, so overridden runs use the exact path
         from ivory_spark.query.exact import bm25_topk
 
-        return bm25_topk(spark, index, queries, k=model.k)
+        return bm25_topk(spark, index, queries, k=model.k, params=model.params)
     # dirichlet / jm / tfidf / f2exp: the generalized exact path.
     # (Dirichlet/JM scores are negative so MaxScore bounds don't prune —
     # no WAND variant; mirrors DirichletScoringFunction.java:30-66 etc.)

@@ -147,6 +147,7 @@ def bm25_topk(
     weighted: bool = False,
     priors: DataFrame | None = None,
     prior_weight: float = 1.0,
+    params: dict | None = None,
 ) -> DataFrame:
     """Exact BM25 top-k for a query batch -> (qid, rank, docno[, docid], score).
 
@@ -154,10 +155,17 @@ def bm25_topk(
     priors: optional (docno, prior float) DataFrame added per doc as
     score += prior_weight * prior — Ivory's additive query-independent
     document potential (smrf/model/potential/DocumentPotential.java:1-109,
-    docscores loaded at BatchQueryRunner.java:93-105)."""
+    docscores loaded at BatchQueryRunner.java:93-105).
+    params: optional per-run {'k1','b','idf'} overrides (the model-XML
+    surface, BM25ScoringFunction.java:30-52) — exact path only; the
+    stored block-max bounds are k1/b-specific, so run_batch falls back
+    here from WAND when a model overrides them."""
     props = index.properties
     n_docs, avgdl = props["n_docs"], props["avgdl"]
-    k1, b, idf_mode = props["k1"], props["b"], props["idf_mode"]
+    p = params or {}
+    k1 = p.get("k1", props["k1"])
+    b = p.get("b", props["b"])
+    idf_mode = p.get("idf", props["idf_mode"])
 
     if weighted:
         qt = weighted_query_table(spark, index, queries)

@@ -70,3 +70,23 @@ def test_lm_prune_output_identical(spark, index, scorer):
     assert [(r["qid"], r["docno"], r["score"]) for r in a] == [
         (r["qid"], r["docno"], r["score"]) for r in b
     ]
+
+
+def test_bm25_model_param_override(spark, oracle_index, index):
+    """Model-XML k1/b overrides reach the scorer (exact-path fallback):
+    rank identity vs the oracle at the overridden parameters."""
+    from ivory_spark.oracle import oracle_topk
+
+    golden = oracle_topk(oracle_index, QUERY_SET[:3], k=K, k1=2.0, b=0.4)
+    got = run_batch(
+        spark, index, QUERY_SET[:3], Model(scorer="bm25", params={"k1": 2.0, "b": 0.4}, k=K)
+    )
+    assert_matches_oracle(got, {q["qid"]: golden[q["qid"]] for q in QUERY_SET[:3]})
+
+
+def test_bm25_default_params_still_wand(spark, oracle_index, index):
+    from ivory_spark.oracle import oracle_topk
+
+    golden = oracle_topk(oracle_index, QUERY_SET[:2], k=K)
+    got = run_batch(spark, index, QUERY_SET[:2], Model(scorer="bm25", k=K))
+    assert_matches_oracle(got, {q["qid"]: golden[q["qid"]] for q in QUERY_SET[:2]})
