@@ -229,9 +229,13 @@ def get_tokenizer(name: str) -> TokenizerSpec:
 # searchable.
 # ---------------------------------------------------------------------------
 
+# letter ranges only: U+3000-303F (ideographic space + CJK punctuation
+# like 。、「」) is deliberately EXCLUDED so punctuation breaks bigram
+# runs instead of entering them (the analyzer treats it as a separator)
 _CJK_RANGES = (
-    (0x2E80, 0x303F),   # CJK radicals + punctuation-adjacent symbols
-    (0x3040, 0x30FF),   # hiragana + katakana
+    (0x2E80, 0x2FFF),   # CJK radicals
+    (0x3040, 0x30FA),   # hiragana + katakana letters
+    (0x30FC, 0x30FF),   # prolonged sound mark + digraphs (letters)
     (0x3400, 0x4DBF),   # CJK ext A
     (0x4E00, 0x9FFF),   # CJK unified
     (0xF900, 0xFAFF),   # CJK compat

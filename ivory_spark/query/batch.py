@@ -68,7 +68,14 @@ def parse_model_xml(path_or_text: str) -> Model:
     scorer = attrs.pop("score", attrs.pop("scorer", "bm25"))
     k = int(attrs.pop("hits", attrs.pop("k", "10")))
     attrs.pop("id", None)
-    params = {a: float(v) for a, v in attrs.items()}
+
+    def _coerce(v: str):
+        try:
+            return float(v)
+        except ValueError:
+            return v  # string params, e.g. idf="classic"
+
+    params = {a: _coerce(v) for a, v in attrs.items()}
     return Model(scorer=scorer, params=params, k=k)
 
 

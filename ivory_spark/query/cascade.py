@@ -64,8 +64,11 @@ def cascade_topk(
         spark, index, queries, model, with_docid=with_docid, candidates=candidates
     )
     if costs is not None:
-        out = out.cache()
-        out.count()  # materialize so stage-2 wall time is attributable
+        # materialize to the driver (k rows per query — never data-scale)
+        # so stage-2 wall time is attributable, without leaking a cached
+        # DataFrame the caller would have to know to unpersist
+        rows = out.collect()
+        out = spark.createDataFrame(rows, out.schema)
         s2_sec = time.monotonic() - t0
         docs_scored = sum(len(s) for s in candidates.values())
         # flat = the expensive model over every stage-1 *candidate* — we

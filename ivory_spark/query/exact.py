@@ -232,9 +232,16 @@ def _fold_scores(cand: DataFrame) -> DataFrame:
         )
         return pd.DataFrame({"qid": np.repeat(key[0], len(d)), "docno": d, "score": s})
 
+    # shard count follows session parallelism (capped): enough groups to
+    # spread one query's candidates across the executors, few enough to
+    # avoid the tiny-pandas-group dispatch tax on small gate-sized runs
+    n_shards = min(
+        _FOLD_SHARDS,
+        max(1, int(cand.sparkSession.conf.get("spark.sql.shuffle.partitions", "64"))),
+    )
     return (
         cand.select("qid", "docno", "termid", "contrib")
-        .withColumn("_shard", F.pmod(F.col("docno"), F.lit(_FOLD_SHARDS)))
+        .withColumn("_shard", F.pmod(F.col("docno"), F.lit(n_shards)))
         .groupBy("qid", "_shard")
         .applyInPandas(fold, schema="qid string, docno long, score float")
     )

@@ -61,6 +61,11 @@ class LocalSearcher:
     def _runs_for(self, termids: list[int]) -> pd.DataFrame:
         import pyarrow.dataset as pads
 
+        # touch cached hits FIRST so eviction below can never drop a term
+        # the current query needs (would silently corrupt scores)
+        for t in termids:
+            if t in self._run_cache:
+                self._run_cache.move_to_end(t)
         missing = [t for t in termids if t not in self._run_cache]
         if missing:
             tab = self._postings.to_table(
@@ -71,12 +76,10 @@ class LocalSearcher:
             for tid, grp in pdf.groupby("termid"):
                 self._run_cache[int(tid)] = grp.reset_index(drop=True)
                 self._run_cache.move_to_end(int(tid))
-            while len(self._run_cache) > self._cache_runs:
+            cap = max(self._cache_runs, len(termids))
+            while len(self._run_cache) > cap:
                 self._run_cache.popitem(last=False)
         parts = [self._run_cache[t] for t in termids if t in self._run_cache]
-        for t in termids:
-            if t in self._run_cache:
-                self._run_cache.move_to_end(t)
         return (
             pd.concat(parts, ignore_index=True)
             if parts

@@ -50,3 +50,27 @@ def test_serve_warm_latency(served):
     # the bar is <500 ms p50 (BENCH target); warm in-process serving
     # should be orders of magnitude under it even on a loaded host
     assert per_query_ms < 200, per_query_ms
+
+
+def test_serve_lru_never_evicts_current_query_terms(spark, tiny_corpus_path, tmp_path_factory):
+    """Regression: with a cache smaller than the working set, a query
+    mixing cached and uncached terms must not lose a cached term to
+    eviction mid-lookup (scores would silently lose that term)."""
+    from ivory_spark.index.build import IndexConfig, build_index
+
+    root = str(tmp_path_factory.mktemp("idx_serve_lru") / "idx")
+    build_index(spark, tiny_corpus_path, root, IndexConfig())
+    tiny = LocalSearcher(root, cache_runs=2)
+    big = LocalSearcher(root)
+    q = QUERY_SET[0]["query"]
+    tiny.search("import", k=3)        # seed cache with a term q also uses
+    a = tiny.search(q, k=5)           # mixes cached + uncached, overflows cache
+    b = big.search(q, k=5)
+    assert [(r["docno"], r["score"]) for r in a] == [(r["docno"], r["score"]) for r in b]
+
+
+def test_parse_model_xml_string_params():
+    from ivory_spark.query.batch import parse_model_xml
+
+    m = parse_model_xml('<model id="x" score="bm25" k1="2.0" idf="classic" hits="5"/>')
+    assert m.params == {"k1": 2.0, "idf": "classic"} and m.k == 5

@@ -158,6 +158,11 @@ def test_cjk_bigram_tokenizer():
     # hangul + kana count as CJK runs
     assert tok("한국어") == ["한국", "국어"]
     assert tok("") == []
+    # CJK punctuation and ideographic space are separators, not letters —
+    # no bigram may bridge a sentence boundary or carry punctuation
+    assert tok("中文。分词") == ["中文", "分词"]
+    assert tok("中文　分词") == ["中文", "分词"]
+    assert tok("「中文」") == ["中文"]
 
 
 def test_cjk_bigram_end_to_end_search(spark, tmp_path):

@@ -54,9 +54,21 @@ def main() -> None:
         from ivory_spark.query.serve import LocalSearcher
 
         searcher = LocalSearcher(args.index_root)
-        for q in queries:
-            for r in searcher.search(q["query"], k=args.k):
-                print(f"{q['qid']} Q0 {r['docid']} {r['rank']} {r['score']:.6f} {args.tag}")
+        lines = [
+            f"{q['qid']} Q0 {r['docid']} {r['rank']} {r['score']:.6f} {args.tag}"
+            for q in queries
+            for r in searcher.search(q["query"], k=args.k)
+        ]
+        if args.output:
+            import gzip
+
+            opener = gzip.open if args.output.endswith(".gz") else open
+            with opener(args.output, "wt") as f:
+                f.write("\n".join(lines) + ("\n" if lines else ""))
+            print(f"wrote {len(lines)} result lines to {args.output}")
+        else:
+            for line in lines:
+                print(line)
         return
 
     from ivory_spark.index.reader import open_index
