@@ -159,6 +159,26 @@ def galago_term_positions_py(content: str) -> dict[str, list[int]]:
     return _positions_from_tokens(galago_tokenize_py(content))
 
 
+# German chain: umlaut-aware word split, German stoplist, Snowball German
+# stemmer — the analogue of the reference's German analysis chain
+# (ivory/core/tokenize multilingual tokenizer family).
+GALAGO_DE_PATTERN = r"[a-zäöüß0-9]+"
+_GRX_DE = re.compile(GALAGO_DE_PATTERN)
+
+
+def galago_de_tokenize_py(content: str) -> list[str]:
+    from ivory_spark.functions.stemmer_de import german_stem
+    from ivory_spark.functions.stopwords import STOPWORDS_DE
+
+    if not content:
+        return []
+    return [
+        german_stem(t)
+        for t in _GRX_DE.findall(content.lower())
+        if len(t) <= MAX_TOKEN_LEN and t not in STOPWORDS_DE
+    ]
+
+
 def _python_doc_terms(tokenize_fn, positional: bool):
     """mapInPandas (docno, term, tf[, positions]) builder for tokenizers
     that need Python (stemming). One Arrow batch is the unit of work;
@@ -289,6 +309,14 @@ register_tokenizer(
         galago_tokenize_py,
         _python_doc_terms(galago_tokenize_py, positional=False),
         _python_doc_terms(galago_tokenize_py, positional=True),
+    )
+)
+register_tokenizer(
+    TokenizerSpec(
+        "galago_de",
+        galago_de_tokenize_py,
+        _python_doc_terms(galago_de_tokenize_py, positional=False),
+        _python_doc_terms(galago_de_tokenize_py, positional=True),
     )
 )
 register_tokenizer(

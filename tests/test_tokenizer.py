@@ -184,3 +184,55 @@ def test_cjk_bigram_end_to_end_search(spark, tmp_path):
     idx = open_index(spark, root)
     hits = bm25_topk(spark, idx, [{"qid": "q", "query": "中文"}], k=3).collect()
     assert hits and hits[0]["docid"].startswith("r1/a@")
+
+
+def test_german_stemmer_goldens():
+    """Snowball German behavior traced from the published algorithm
+    (R1/R2 regions, s/st ending conditions, umlaut postlude)."""
+    from ivory_spark.functions.stemmer_de import german_stem
+
+    cases = {
+        "katzen": "katz", "laufen": "lauf", "kinder": "kind",
+        "häuser": "haus", "bücher": "buch", "aufeinander": "aufeinand",
+        "verständnisse": "verstandnis", "arbeiten": "arbeit",
+        "besser": "bess", "gutes": "gut", "mädchen": "madch",
+        "berge": "berg", "bergen": "berg", "auto": "auto",
+        # R2 conditions: heit/lich survive when R2 starts past them;
+        # 's' is not stripped after a non-s-ending letter ('o')
+        "schönheit": "schonheit", "freundlich": "freundlich",
+        "autos": "autos", "möglichkeit": "moglich",
+        "straße": "strass",
+    }
+    for w, want in cases.items():
+        assert german_stem(w) == want, (w, german_stem(w))
+
+
+def test_galago_de_tokenize():
+    from ivory_spark.functions.tokenizer import galago_de_tokenize_py as tok
+
+    toks = tok("Die Katzen laufen über die schönen Brücken!")
+    assert "die" not in toks and "uber" not in toks  # stopwords gone (über)
+    assert toks == ["katz", "lauf", "schon", "bruck"]
+
+
+def test_galago_de_end_to_end_search(spark, tmp_path):
+    from ivory_spark.index.build import IndexConfig, build_index
+    from ivory_spark.index.reader import open_index
+    from ivory_spark.query.exact import bm25_topk
+
+    rows = [
+        ("r1", "a", "c1", "de", "Die Katzen laufen im Garten"),
+        ("r1", "b", "c2", "de", "Der Hund schläft unter dem Baum"),
+        ("r1", "c", "c3", "de", "Ein Buch über Datenbanken und Indizes"),
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    corpus_path = str(tmp_path / "de.parquet")
+    df.write.parquet(corpus_path)
+    root = str(tmp_path / "idx_de")
+    build_index(spark, corpus_path, root, IndexConfig(tokenizer="galago_de"))
+    idx = open_index(spark, root)
+    # inflected query form matches the indexed form via shared stemming
+    hits = bm25_topk(spark, idx, [{"qid": "q", "query": "Katze läuft"}], k=3).collect()
+    assert hits and hits[0]["docid"].startswith("r1/a@")
