@@ -32,8 +32,11 @@ def _regions(w: str) -> tuple[int, int]:
     """R1/R2 start offsets; R1 adjusted to begin at position >= 3."""
 
     def after_first_vc(start: int) -> int:
+        # NOTE: no lowercasing here — the prelude marks intervocalic u/y
+        # as 'U'/'Y' precisely so they count as CONSONANTS in the region
+        # scan (bauen -> baUen -> R1=3 -> 'bau')
         for i in range(start, len(w) - 1):
-            if w[i].lower() in _VOWELS and w[i + 1].lower() not in _VOWELS:
+            if w[i] in _VOWELS and w[i + 1] not in _VOWELS:
                 return i + 2
         return len(w)
 

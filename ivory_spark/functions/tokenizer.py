@@ -254,6 +254,8 @@ def get_tokenizer(name: str) -> TokenizerSpec:
 # runs instead of entering them (the analyzer treats it as a separator)
 _CJK_RANGES = (
     (0x2E80, 0x2FFF),   # CJK radicals
+    (0x3005, 0x3007),   # 々 iteration mark, 〆, 〇 (letter-class, e.g. 人々)
+    (0x303B, 0x303C),   # 〻 vertical iteration mark, 〼 masu mark
     (0x3040, 0x30FA),   # hiragana + katakana letters
     (0x30FC, 0x30FF),   # prolonged sound mark + digraphs (letters)
     (0x3400, 0x4DBF),   # CJK ext A

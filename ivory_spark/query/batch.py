@@ -79,18 +79,27 @@ def parse_model_xml(path_or_text: str) -> Model:
     return Model(scorer=scorer, params=params, k=k)
 
 
+def write_trec_lines(
+    rows, path: str, tag: str = "ivory_spark"
+) -> int:
+    """Single owner of the TREC run format: rows are (qid, rank, docid,
+    score) tuples/dicts; .gz suffix → gzip. Returns line count."""
+    opener = gzip.open if path.endswith(".gz") else open
+    n = 0
+    with opener(path, "wt") as f:
+        for r in rows:
+            f.write(f"{r['qid']} Q0 {r['docid']} {r['rank']} {r['score']:.6f} {tag}\n")
+            n += 1
+    return n
+
+
 def write_trec_run(results: DataFrame, path: str, tag: str = "ivory_spark") -> int:
-    """Write 'qid Q0 docid rank score tag' lines; .gz suffix → gzip.
-    Results must have (qid, rank, docid, score). Returns line count.
+    """DataFrame wrapper over write_trec_lines.
 
     Collects to the driver — TREC runs are k·|queries| rows by
     construction, never data-scale."""
     rows = results.select("qid", "rank", "docid", "score").orderBy("qid", "rank").collect()
-    opener = gzip.open if path.endswith(".gz") else open
-    with opener(path, "wt") as f:
-        for r in rows:
-            f.write(f"{r['qid']} Q0 {r['docid']} {r['rank']} {r['score']:.6f} {tag}\n")
-    return len(rows)
+    return write_trec_lines(rows, path, tag)
 
 
 def run_batch(

@@ -236,3 +236,25 @@ def test_galago_de_end_to_end_search(spark, tmp_path):
     # inflected query form matches the indexed form via shared stemming
     hits = bm25_topk(spark, idx, [{"qid": "q", "query": "Katze läuft"}], k=3).collect()
     assert hits and hits[0]["docid"].startswith("r1/a@")
+
+
+def test_german_stemmer_intervocalic_u_y():
+    """Regression: the prelude's U/Y consonant marking must reach the
+    region scan (bauen -> baUen -> R1=3), unifying Mauer/Mauern etc."""
+    from ivory_spark.functions.stemmer_de import german_stem
+
+    assert german_stem("bauen") == "bau"
+    assert german_stem("mauer") == "mau"
+    assert german_stem("mauer") == german_stem("mauern")
+    assert german_stem("feuer") == "feu"
+    assert german_stem("treue") == "treu"
+
+
+def test_cjk_iteration_marks_are_letters():
+    """Regression: 々〆〇〻 are letter-class (人々 must stay searchable)
+    while CJK punctuation still separates runs."""
+    from ivory_spark.functions.tokenizer import cjk_bigram_tokenize_py as tok
+
+    assert tok("人々") == ["人々"]
+    assert tok("時々刻々") == ["時々", "々刻", "刻々"]
+    assert tok("中文。分词") == ["中文", "分词"]

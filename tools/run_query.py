@@ -54,21 +54,19 @@ def main() -> None:
         from ivory_spark.query.serve import LocalSearcher
 
         searcher = LocalSearcher(args.index_root)
-        lines = [
-            f"{q['qid']} Q0 {r['docid']} {r['rank']} {r['score']:.6f} {args.tag}"
+        rows = [
+            {"qid": q["qid"], "rank": r["rank"], "docid": r["docid"], "score": r["score"]}
             for q in queries
             for r in searcher.search(q["query"], k=args.k)
         ]
         if args.output:
-            import gzip
+            from ivory_spark.query.batch import write_trec_lines
 
-            opener = gzip.open if args.output.endswith(".gz") else open
-            with opener(args.output, "wt") as f:
-                f.write("\n".join(lines) + ("\n" if lines else ""))
-            print(f"wrote {len(lines)} result lines to {args.output}")
+            n = write_trec_lines(rows, args.output, tag=args.tag)
+            print(f"wrote {n} result lines to {args.output}")
         else:
-            for line in lines:
-                print(line)
+            for r in rows:
+                print(f"{r['qid']} Q0 {r['docid']} {r['rank']} {r['score']:.6f} {args.tag}")
         return
 
     from ivory_spark.index.reader import open_index
