@@ -1,0 +1,129 @@
+"""Streaming near-duplicate detection — a custom stateful operator
+(applyInPandasWithState) over minhash-LSH band buckets.
+
+The batch pipeline (ops/dedup.py: sign → band → bucket-join → verify)
+needs all documents at once; on an ingest stream the same shape becomes
+stateful: each (band, bucket-key) group keeps the documents previously
+seen in that bucket as GroupState, and every arriving document that
+lands in a non-empty bucket is emitted as a near-dup CANDIDATE against
+the earliest occupant (exact-verification happens downstream or at
+compaction, as in the batch path). This is the streaming arm of the
+reference's LSH pwsim subsystem (ivory/lsh/pwsim/cl/
+CLSlidingWindowPwsim.java:50-367 — the sorted sliding window becomes
+keyed state on the bucket key).
+
+State is bounded per bucket (max_state docs, FIFO) so a hot bucket
+cannot grow without limit — the streaming twin of the batch path's
+max_bucket skew guard.
+
+Signatures are md5-based via the SAME formula as the batch
+minhash_signatures (ops/dedup.portable_hash), asserted equal in tests,
+so stream-flagged candidates agree with batch-computed ones.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MINHASH_N = 12
+BAND_SIZE = 3
+
+
+def _minhash_sig(text: str, n_hashes: int = MINHASH_N) -> list[int]:
+    """Row-local minhash signature, identical to the batch
+    ops/dedup.minhash_signatures (md5 over distinct whitespace tokens)."""
+    toks = {t for t in (text or "").lower().split(" ") if t}
+    if not toks:
+        return [0] * n_hashes
+    out = []
+    for j in range(n_hashes):
+        out.append(
+            min(
+                int(hashlib.md5(f"{j}:{t}".encode()).hexdigest()[:15], 16)
+                for t in toks
+            )
+        )
+    return out
+
+
+def band_rows(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    n_hashes: int = MINHASH_N,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """(doc_id, band, bkey): one row per LSH band per document, computed
+    row-locally (no groupBy, so it composes onto an unbounded stream)."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        return pd.Series([_minhash_sig(t, n_hashes) for t in texts])
+
+    n_bands = n_hashes // band_size
+    sig = stream.select(F.col(id_col).alias("doc_id"), sig_udf(F.col(text_col)).alias("sig"))
+    parts = None
+    for b in range(n_bands):
+        key = F.concat_ws(
+            "_", *[F.col("sig")[b * band_size + j].cast("string") for j in range(band_size)]
+        )
+        p = sig.select("doc_id", F.lit(b).alias("band"), key.alias("bkey"))
+        parts = p if parts is None else parts.unionByName(p)
+    return parts
+
+
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("band", T.IntegerType()),
+        T.StructField("bkey", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("first_seen_doc", T.LongType()),
+        T.StructField("n_prior", T.IntegerType()),
+    ]
+)
+_STATE_SCHEMA = T.StructType([T.StructField("seen", T.ArrayType(T.LongType()))])
+
+
+def streaming_neardup_candidates(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    n_hashes: int = MINHASH_N,
+    band_size: int = BAND_SIZE,
+    max_state: int = 64,
+) -> DataFrame:
+    """Stateful near-dup candidate stream: one output row per (doc, band)
+    whose bucket already held documents — (band, bkey, doc_id,
+    first_seen_doc, n_prior). Dedupe/aggregate downstream to taste."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    bands = band_rows(stream, id_col, text_col, n_hashes, band_size)
+
+    def update(key, pdfs, state):
+        band, bkey = key
+        seen: list[int] = list(state.get[0]) if state.exists else []
+        out = []
+        for pdf in pdfs:
+            for doc in pdf["doc_id"]:
+                doc = int(doc)
+                if seen:
+                    out.append((band, bkey, doc, seen[0], len(seen)))
+                if doc not in seen:
+                    seen.append(doc)
+                    if len(seen) > max_state:  # FIFO bound per bucket
+                        seen = seen[-max_state:]
+        state.update((seen,))
+        yield pd.DataFrame(
+            out, columns=["band", "bkey", "doc_id", "first_seen_doc", "n_prior"]
+        )
+
+    return bands.groupBy("band", "bkey").applyInPandasWithState(
+        update,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

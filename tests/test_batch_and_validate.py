@@ -202,3 +202,57 @@ def test_streaming_quality_filter(spark, tmp_path):
     )
     got = spark.sql("select path from squal").toPandas()
     assert sorted(got["path"]) == ["a"]
+
+
+def test_streaming_neardup_stateful(spark, tmp_path):
+    """applyInPandasWithState near-dup candidates: duplicate content
+    flags against the bucket's first occupant across micro-batches;
+    signatures agree with the batch minhash op."""
+    import pandas as pd
+
+    from ivory_spark.ops.dedup import minhash_signatures
+    from ivory_spark.streaming.ingest import CORPUS_SCHEMA
+    from ivory_spark.streaming.neardup import _minhash_sig, streaming_neardup_candidates
+
+    dup_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = pd.DataFrame(
+        {
+            "repo": ["r"] * 3,
+            "path": ["a", "b", "c"],
+            "commit": ["1", "2", "3"],
+            "lang": ["x"] * 3,
+            "content": [dup_text, "totally different words entirely here", dup_text],
+            "ingest_ts": pd.Series([pd.Timestamp("2026-01-01")] * 3).astype("datetime64[us]"),
+        }
+    )
+    rows["doc_id"] = [10, 20, 30]
+    stream_dir = str(tmp_path / "nd")
+    os.makedirs(stream_dir)
+    rows.to_parquet(os.path.join(stream_dir, "b0.parquet"), index=False)
+
+    schema = CORPUS_SCHEMA.add("doc_id", "long")
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stream_dir)
+    )
+    out = streaming_neardup_candidates(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("nd_cand")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select * from nd_cand").toPandas()
+    # doc 30 (dup of 10) collides in EVERY band against first-seen 10
+    flagged = got[got["doc_id"] == 30]
+    assert len(flagged) == 4  # 12 hashes / 3 per band
+    assert (flagged["first_seen_doc"] == 10).all()
+    # the unique doc never collides
+    assert (got["doc_id"] != 20).all()
+
+    # signature parity with the batch operator
+    batch = minhash_signatures(
+        spark.createDataFrame([(1, dup_text)], "doc_id long, text string")
+    ).collect()[0]
+    assert [batch[f"m{j}"] for j in range(12)] == _minhash_sig(dup_text)
