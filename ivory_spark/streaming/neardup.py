@@ -37,7 +37,7 @@ def _minhash_sig(text: str, n_hashes: int = MINHASH_N) -> list[int]:
     ops/dedup.minhash_signatures (md5 over distinct whitespace tokens)."""
     toks = {t for t in (text or "").lower().split(" ") if t}
     if not toks:
-        return [0] * n_hashes
+        return None  # token-less doc: no bands (batch parity — no sig row)
     out = []
     for j in range(n_hashes):
         out.append(
@@ -64,7 +64,11 @@ def band_rows(
         return pd.Series([_minhash_sig(t, n_hashes) for t in texts])
 
     n_bands = n_hashes // band_size
-    sig = stream.select(F.col(id_col).alias("doc_id"), sig_udf(F.col(text_col)).alias("sig"))
+    sig = (
+        stream.filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), sig_udf(F.col(text_col)).alias("sig"))
+        .filter(F.col("sig").isNotNull())
+    )
     parts = None
     for b in range(n_bands):
         key = F.concat_ws(
@@ -109,12 +113,13 @@ def streaming_neardup_candidates(
         for pdf in pdfs:
             for doc in pdf["doc_id"]:
                 doc = int(doc)
+                if doc in seen:
+                    continue  # at-least-once re-delivery: never self-pair
                 if seen:
                     out.append((band, bkey, doc, seen[0], len(seen)))
-                if doc not in seen:
-                    seen.append(doc)
-                    if len(seen) > max_state:  # FIFO bound per bucket
-                        seen = seen[-max_state:]
+                seen.append(doc)
+                if len(seen) > max_state:  # FIFO bound per bucket
+                    seen = seen[-max_state:]
         state.update((seen,))
         yield pd.DataFrame(
             out, columns=["band", "bkey", "doc_id", "first_seen_doc", "n_prior"]
