@@ -12,9 +12,16 @@ reference's LSH pwsim subsystem (ivory/lsh/pwsim/cl/
 CLSlidingWindowPwsim.java:50-367 — the sorted sliding window becomes
 keyed state on the bucket key).
 
-State is bounded per bucket (max_state docs, FIFO) so a hot bucket
-cannot grow without limit — the streaming twin of the batch path's
-max_bucket skew guard.
+State is bounded two ways: per bucket, the doc list is FIFO-capped
+(max_state — the streaming twin of the batch path's max_bucket skew
+guard); across buckets, pass state_ttl_minutes on long-running streams
+to attach a processing-time TTL per bucket state (removed on timeout) so
+the state store does not grow with every bucket key ever seen — near-dups
+beyond the TTL horizon are caught by batch compaction (the same division
+of labor as streaming_exact_dedup's watermark). state_ttl_minutes=None
+(default) uses NoTimeout: ProcessingTimeTimeout makes availableNow
+drains hang in this PySpark build (verified), so tests and bounded
+backfills must run without TTL.
 
 Signatures are md5-based via the SAME formula as the batch
 minhash_signatures (ops/dedup.portable_hash), asserted equal in tests,
@@ -98,6 +105,7 @@ def streaming_neardup_candidates(
     n_hashes: int = MINHASH_N,
     band_size: int = BAND_SIZE,
     max_state: int = 64,
+    state_ttl_minutes: int | None = None,
 ) -> DataFrame:
     """Stateful near-dup candidate stream: one output row per (doc, band)
     whose bucket already held documents — (band, bkey, doc_id,
@@ -105,8 +113,15 @@ def streaming_neardup_candidates(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     bands = band_rows(stream, id_col, text_col, n_hashes, band_size)
+    ttl_ms = state_ttl_minutes * 60_000 if state_ttl_minutes else None
 
     def update(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                columns=["band", "bkey", "doc_id", "first_seen_doc", "n_prior"]
+            )
+            return
         band, bkey = key
         seen: list[int] = list(state.get[0]) if state.exists else []
         out = []
@@ -121,6 +136,8 @@ def streaming_neardup_candidates(
                 if len(seen) > max_state:  # FIFO bound per bucket
                     seen = seen[-max_state:]
         state.update((seen,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(
             out, columns=["band", "bkey", "doc_id", "first_seen_doc", "n_prior"]
         )
@@ -130,5 +147,9 @@ def streaming_neardup_candidates(
         outputStructType=_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
