@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import re
 from collections import defaultdict
+from functools import lru_cache
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F, types as T
@@ -142,14 +143,33 @@ GALAGO_TOKEN_PATTERN = r"[a-z0-9]+"
 _GRX = re.compile(GALAGO_TOKEN_PATTERN)
 
 
-def galago_tokenize_py(content: str) -> list[str]:
+# Stem memoization: the reference tokenizer keeps a stem cache so each
+# distinct surface form is stemmed once per JVM
+# (ivory/core/tokenize/GalagoTokenizer.java:788-832). Same here, per
+# Python worker process: Zipf makes distinct terms a tiny fraction of
+# occurrences, so a 256k-entry LRU turns stemming from per-occurrence to
+# per-distinct-term work.
+@lru_cache(maxsize=1 << 18)
+def _stem_en(token: str) -> str:
     from ivory_spark.functions.stemmer import porter_stem
+
+    return porter_stem(token)
+
+
+@lru_cache(maxsize=1 << 18)
+def _stem_de(token: str) -> str:
+    from ivory_spark.functions.stemmer_de import german_stem
+
+    return german_stem(token)
+
+
+def galago_tokenize_py(content: str) -> list[str]:
     from ivory_spark.functions.stopwords import STOPWORDS_EN
 
     if not content:
         return []
     return [
-        porter_stem(t)
+        _stem_en(t)
         for t in _GRX.findall(content.lower())
         if len(t) <= MAX_TOKEN_LEN and t not in STOPWORDS_EN
     ]
@@ -167,13 +187,12 @@ _GRX_DE = re.compile(GALAGO_DE_PATTERN)
 
 
 def galago_de_tokenize_py(content: str) -> list[str]:
-    from ivory_spark.functions.stemmer_de import german_stem
     from ivory_spark.functions.stopwords import STOPWORDS_DE
 
     if not content:
         return []
     return [
-        german_stem(t)
+        _stem_de(t)
         for t in _GRX_DE.findall(content.lower())
         if len(t) <= MAX_TOKEN_LEN and t not in STOPWORDS_DE
     ]

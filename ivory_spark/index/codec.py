@@ -223,19 +223,30 @@ def encode_positions(flat_positions: np.ndarray, tfs: np.ndarray) -> bytes:
     return varint_encode(gaps).tobytes()
 
 
-def decode_positions(pos_blob: bytes, tfs: np.ndarray) -> list[np.ndarray]:
-    """Inverse of encode_positions: per-posting position arrays."""
+def decode_positions_flat(pos_blob: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of encode_positions in CSR form: (flat int64 positions,
+    indptr) with indptr[i]:indptr[i+1] delimiting posting i's positions.
+    The CSR form lets the MRF kernel gather many postings' position lists
+    without a Python-level per-posting split."""
     tfs = np.asarray(tfs, dtype=np.int64)
+    indptr = np.concatenate(([0], np.cumsum(tfs)))
     if len(pos_blob) == 0:
-        return [np.empty(0, dtype=np.int64) for _ in range(len(tfs))]
+        return np.empty(0, dtype=np.int64), np.zeros(len(tfs) + 1, dtype=np.int64)
     gaps = varint_decode(np.frombuffer(pos_blob, dtype=np.uint8)).astype(np.int64)
-    ends = np.cumsum(tfs)
-    starts = ends - tfs
+    starts = indptr[:-1]
     p = np.cumsum(gaps)
     # subtract the running total just before each posting's first position
     offsets = np.where(starts > 0, p[np.maximum(starts - 1, 0)], 0)
     flat = p - np.repeat(offsets, tfs)
-    return list(np.split(flat, ends[:-1]))
+    return flat, indptr
+
+
+def decode_positions(pos_blob: bytes, tfs: np.ndarray) -> list[np.ndarray]:
+    """Inverse of encode_positions: per-posting position arrays."""
+    flat, indptr = decode_positions_flat(pos_blob, tfs)
+    if flat.size == 0:
+        return [np.empty(0, dtype=np.int64) for _ in range(len(np.asarray(tfs)))]
+    return list(np.split(flat, indptr[1:-1]))
 
 
 def merge_runs(blobs: list[bytes], impacts_fn) -> bytes:

@@ -70,29 +70,98 @@ def _merge_streams(position_lists: list[np.ndarray]) -> tuple[np.ndarray, np.nda
     return pos[order], ids[order]
 
 
+def _batch_next(p: np.ndarray, c: np.ndarray, side: str) -> tuple[np.ndarray, np.ndarray]:
+    """For each c[i]: (exists, value) of the first element of sorted p that
+    is >= c[i] (side='left') or > c[i] (side='right')."""
+    idx = np.searchsorted(p, c, side)
+    has = idx < len(p)
+    val = p[np.minimum(idx, len(p) - 1)]
+    return has, val
+
+
+def batch_ordered_counts(
+    readers: list[tuple[np.ndarray, np.ndarray]], gap: int, m: int
+) -> np.ndarray:
+    """#od[gap] match counts for many documents at once.
+
+    Each reader is (positions, doc_index): `positions` ascending int64,
+    offset-encoded so documents occupy disjoint, ordered ranges wider than
+    `gap` (cross-document pairs then always violate the gap bound);
+    `doc_index` maps each element to its document in 0..m-1. Returns int64
+    counts per document, clamped at Short.MAX_VALUE.
+
+    Semantics are the reference merged-stream scan
+    (ProximityPostingsReaderOrderedWindow.java:92-136), vectorized: only
+    reader-0 elements can start a match (any later lower-id reader breaks
+    the strictly-increasing-id rule); from a start c0, the k-th matched
+    element is the first reader-k element >= c_{k-1} (ties in the merged
+    stream resolve by reader id, so an equal position of a higher-id
+    reader comes after), each step's gap must be <= gap, and no
+    not-yet-matched reader j>k may have an element in [c_{k-1}, c_k) —
+    the scan would match j first and then fail on reader k's lower id.
+    Equivalence to the scan loop is property-tested in tests/test_mrf.py."""
+    n = len(readers)
+    p0, d0 = readers[0]
+    if n < 2 or any(len(r[0]) == 0 for r in readers):
+        return np.zeros(m, dtype=np.int64)
+    c = p0
+    ok = np.ones(len(p0), dtype=bool)
+    for k in range(1, n):
+        has, ck = _batch_next(readers[k][0], c, "left")
+        step = has & (ck - c <= gap)
+        for j in range(k + 1, n):
+            jhas, nj = _batch_next(readers[j][0], c, "left")
+            step &= (~jhas) | (nj >= ck)
+        ok &= step
+        c = np.where(step, ck, c)
+    counts = np.bincount(d0[ok], minlength=m)
+    return np.minimum(counts, SHORT_MAX)
+
+
+def batch_unordered_counts(
+    readers: list[tuple[np.ndarray, np.ndarray]], window: int, m: int
+) -> np.ndarray:
+    """#uw[window] match counts for many documents at once (same reader
+    encoding as batch_ordered_counts; offset stride must exceed window).
+
+    Reference semantics (ProximityPostingsReaderUnorderedWindow.java:
+    90-124): every merged-stream element starts a candidate window; it
+    matches iff every other reader has an element in
+    [start, start + window - 1] occurring after the start in stream order
+    — an element at the start position counts only for readers with a
+    higher reader id (merged-stream tie order)."""
+    n = len(readers)
+    if n < 2 or any(len(r[0]) == 0 for r in readers):
+        return np.zeros(m, dtype=np.int64)
+    counts = np.zeros(m, dtype=np.int64)
+    for r, (a, da) in enumerate(readers):
+        ok = np.ones(len(a), dtype=bool)
+        for j in range(n):
+            if j == r:
+                continue
+            pj = readers[j][0]
+            lo = np.searchsorted(pj, a, "left" if j > r else "right")
+            hi = np.searchsorted(pj, a + (window - 1), "right")
+            ok &= hi > lo
+        counts += np.bincount(da[ok], minlength=m)
+    return np.minimum(counts, SHORT_MAX)
+
+
+def _one_doc_readers(position_lists: list[np.ndarray]) -> list[tuple[np.ndarray, np.ndarray]]:
+    return [
+        (np.asarray(p, dtype=np.int64), np.zeros(len(p), dtype=np.int64))
+        for p in position_lists
+    ]
+
+
 def count_ordered_matches(position_lists: list[np.ndarray], gap: int) -> int:
     """#od[gap]: all terms in reader order, each consecutive new-term gap
-    <= gap (ProximityPostingsReaderOrderedWindow.java:92-136).
-
-    Two-reader cliques (every SD clique, every FD pair) take a vectorized
-    searchsorted path derived from the scan semantics: a start at a in P1
-    matches iff min(P2 > a) - a <= gap (P2 starts always violate reader
-    order); identical lists (duplicate query token) match once per
-    occurrence. n>2 readers fall back to the reference scan loop.
-    Equivalence is property-tested in tests/test_mrf.py."""
-    n_readers = len(position_lists)
-    if n_readers < 2 or any(len(p) == 0 for p in position_lists):
+    <= gap (ProximityPostingsReaderOrderedWindow.java:92-136). Single-doc
+    wrapper over batch_ordered_counts; equivalence to the reference scan
+    loop is property-tested in tests/test_mrf.py."""
+    if len(position_lists) < 2 or any(len(p) == 0 for p in position_lists):
         return 0
-    if n_readers == 2:
-        p1 = np.asarray(position_lists[0], dtype=np.int64)
-        p2 = np.asarray(position_lists[1], dtype=np.int64)
-        if len(p1) == len(p2) and np.array_equal(p1, p2):
-            return min(len(p1), SHORT_MAX)
-        idx = np.searchsorted(p2, p1, side="right")
-        valid = idx < len(p2)
-        nxt = p2[np.minimum(idx, len(p2) - 1)]
-        return min(int(np.count_nonzero(valid & (nxt - p1 <= gap))), SHORT_MAX)
-    return _count_ordered_scan(position_lists, gap)
+    return int(batch_ordered_counts(_one_doc_readers(position_lists), gap, 1)[0])
 
 
 def _count_ordered_scan(position_lists: list[np.ndarray], gap: int) -> int:
@@ -127,31 +196,11 @@ def _count_ordered_scan(position_lists: list[np.ndarray], gap: int) -> int:
 
 def count_unordered_matches(position_lists: list[np.ndarray], window: int) -> int:
     """#uw[window]: all terms within `window` consecutive positions
-    (ProximityPostingsReaderUnorderedWindow.java:90-124).
-
-    Two-reader vectorized form: a start at a in P1 matches iff P2 has an
-    element in (a, a + window - 1]; symmetric for P2 starts; identical
-    lists (duplicate token) add one match per occurrence plus one per
-    occurrence with a successor inside the window. n>2 readers use the
-    reference scan loop."""
-    n_readers = len(position_lists)
-    if n_readers < 2 or any(len(p) == 0 for p in position_lists):
+    (ProximityPostingsReaderUnorderedWindow.java:90-124). Single-doc
+    wrapper over batch_unordered_counts."""
+    if len(position_lists) < 2 or any(len(p) == 0 for p in position_lists):
         return 0
-    if n_readers == 2:
-        p1 = np.asarray(position_lists[0], dtype=np.int64)
-        p2 = np.asarray(position_lists[1], dtype=np.int64)
-
-        def starts_with_partner(a: np.ndarray, b: np.ndarray) -> int:
-            hi = np.searchsorted(b, a + (window - 1), side="right")
-            lo = np.searchsorted(b, a, side="right")
-            return int(np.count_nonzero(hi > lo))
-
-        if len(p1) == len(p2) and np.array_equal(p1, p2):
-            return min(len(p1) + starts_with_partner(p1, p1), SHORT_MAX)
-        return min(
-            starts_with_partner(p1, p2) + starts_with_partner(p2, p1), SHORT_MAX
-        )
-    return _count_unordered_scan(position_lists, window)
+    return int(batch_unordered_counts(_one_doc_readers(position_lists), window, 1)[0])
 
 
 def _count_unordered_scan(position_lists: list[np.ndarray], window: int) -> int:
@@ -315,6 +364,139 @@ def score_doc(
 
 
 # ---------------------------------------------------------------------------
+# batched scoring kernel (vectorized twin of score_doc; bit-exact by
+# construction: identical IEEE-754 float32 ops applied elementwise, same
+# clique-ordered accumulation — asserted per-doc-vs-batch in tests/test_mrf.py)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TermData:
+    """One query term's postings within a candidate-doc universe of size m,
+    CSR-encoded so window kernels can gather position lists without
+    Python-level per-document loops."""
+
+    tf: np.ndarray  # int64 (m,): term frequency per candidate doc (0 absent)
+    doc_rows: np.ndarray  # int64 ascending rows in 0..m-1 containing the term
+    indptr: np.ndarray  # int64 (len(doc_rows)+1,): CSR row pointers
+    flat_pos: np.ndarray  # int64: positions, concatenated in doc_rows order
+
+
+def _gather_csr(
+    flat: np.ndarray, indptr: np.ndarray, rows: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate CSR rows `rows` -> (values, per-row lengths), fully
+    vectorized (no per-row Python)."""
+    starts = indptr[rows]
+    lens = indptr[rows + 1] - starts
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=flat.dtype), lens
+    idx = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(np.cumsum(lens) - lens, lens)
+        + np.repeat(starts, lens)
+    )
+    return flat[idx], lens
+
+
+def _clique_score_vec(
+    scorer: str, params: dict, tf: np.ndarray, dl: np.ndarray, df: int, cf: int,
+    n_docs: int, avgdl: float, collection_len: int,
+) -> np.ndarray:
+    """Vectorized _clique_score over m docs (same ops, same zero rules)."""
+    if scorer == "bm25":
+        idf = bm25_idf(n_docs, np.array([df]), mode=params.get("idf", "okapi"))[0]
+        sc = np.float32(idf) * bm25_tf_part(
+            tf, dl, avgdl, params.get("k1", 1.2), params.get("b", 0.75)
+        )
+        return np.where(tf > 0, sc, F32(0.0)).astype(np.float32)
+    if scorer == "dirichlet":
+        with np.errstate(divide="ignore"):
+            sc = dirichlet_score(tf, dl, cf, collection_len, params.get("mu", 2500.0))
+        # absent term keeps the nonzero background unless cf degenerates to 0
+        return np.where((tf > 0) | (cf > 0), sc, F32(0.0)).astype(np.float32)
+    raise ValueError(scorer)
+
+
+def _clique_window_counts(
+    present: list[str], clique: dict, term_data: dict[str, TermData],
+    m: int, max_pos: int,
+) -> np.ndarray:
+    """Window-match tf per candidate doc for one proximity clique: only
+    docs containing every present term can match; their position lists are
+    gathered CSR-style, offset-encoded (stride > max position + window so
+    cross-doc pairs can never satisfy a gap/window bound), and counted in
+    one batched searchsorted pass."""
+    tds = [term_data.get(t) for t in present]
+    out = np.zeros(m, dtype=np.int64)
+    if any(td is None or len(td.doc_rows) == 0 for td in tds):
+        return out
+    common = tds[0].doc_rows
+    for td in tds[1:]:
+        common = common[np.isin(common, td.doc_rows, assume_unique=False)]
+    if len(common) == 0:
+        return out
+    window = int(clique["window"])
+    stride = np.int64(max_pos + window + 2)
+    readers = []
+    for td in tds:
+        rows_in_td = np.searchsorted(td.doc_rows, common)
+        vals, lens = _gather_csr(td.flat_pos, td.indptr, rows_in_td)
+        doc_ord = np.repeat(np.arange(len(common), dtype=np.int64), lens)
+        readers.append((vals + doc_ord * stride, doc_ord))
+    if clique["kind"] == "od":
+        cnt = batch_ordered_counts(readers, window, len(common))
+    else:
+        cnt = batch_unordered_counts(readers, window, len(common))
+    out[common] = cnt
+    return out
+
+
+def score_docs_batch(
+    cliques: list[dict],
+    term_data: dict[str, TermData],
+    dl: np.ndarray,  # int64 (m,) doc lengths
+    stats: dict[str, tuple[int, int]],
+    n_docs: int,
+    avgdl: float,
+    collection_len: int,
+) -> np.ndarray:
+    """float32 MRF scores for m candidate docs at once — the vectorized
+    twin of score_doc: per clique one vectorized contribution, accumulated
+    elementwise in clique order (bit-identical to the per-doc sequential
+    float32 fold)."""
+    m = len(dl)
+    default_df = n_docs // 100
+    default_cf = default_df * 2
+    max_pos = 0
+    for td in term_data.values():
+        if td.flat_pos.size:
+            max_pos = max(max_pos, int(td.flat_pos.max()))
+    acc = np.zeros(m, dtype=np.float32)
+    zero_tf = np.zeros(m, dtype=np.int64)
+    for c in cliques:
+        if c["kind"] == "term":
+            term = c["terms"][0]
+            if term not in stats:
+                continue  # OOV
+            td = term_data.get(term)
+            tf = td.tf if td is not None else zero_tf
+            df, cf = stats[term]
+        else:
+            present = [t for t in c["terms"] if t in stats]
+            if len(present) < 2:
+                continue
+            tf = _clique_window_counts(present, c, term_data, m, max_pos)
+            df, cf = default_df, default_cf
+        sc = _clique_score_vec(
+            c["scorer"], c["params"], tf, dl, df, cf, n_docs, avgdl, collection_len
+        )
+        acc = (acc + F32(c["weight"]) * sc).astype(np.float32)
+    return acc
+
+
+# ---------------------------------------------------------------------------
 # Spark path
 # ---------------------------------------------------------------------------
 
@@ -385,35 +567,82 @@ def mrf_topk(
         hi = -((-(s + 1) * (n_docs + 1)) // n_shards) - 1
         return max(lo, 1), min(hi, n_docs)
 
+    cand_sorted = (
+        {q: np.array(sorted(s), dtype=np.int64) for q, s in candidates.items()}
+        if candidates is not None
+        else None
+    )
+
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         qid, shard = key
         lo, hi = shard_bounds(int(shard))
         cliques = q_cliques[qid]
-        docs: dict[int, dict[str, tuple[int, np.ndarray]]] = {}
-        dls: dict[int, int] = {}
+        # pass 1: decode each term's run once, mask to the shard range
+        decoded = []  # (term, docnos int64, tfs, dls, flat_pos, indptr)
         for row in pdf.itertuples(index=False):
             term = term_by_id[int(row.termid)]
             docnos, tfs, dl_arr = codec.decode_run(bytes(row.blob))
-            plists = codec.decode_positions(
-                bytes(row.pos_blob) if row.pos_blob is not None else b"", tfs
-            )
             d64 = docnos.astype(np.int64)
             mask = (d64 >= lo) & (d64 <= hi)
-            for i in np.nonzero(mask)[0]:
-                dn = int(d64[i])
-                docs.setdefault(dn, {})[term] = (int(tfs[i]), plists[i])
-                dls[dn] = int(dl_arr[i])
-        cand_set = candidates.get(qid) if candidates is not None else None
-        rows = []
-        for dn, dterms in docs.items():
-            if cand_set is not None and dn not in cand_set:
+            if not mask.any():
                 continue
-            s = score_doc(cliques, dterms, dls[dn], stats, n_docs, avgdl, clen)
-            rows.append((qid, dn, float(s)))
-        out = pd.DataFrame(rows, columns=["qid", "docno", "score"])
-        if len(out) > k:  # local top-k before the global merge
-            out = out.sort_values(["score", "docno"], ascending=False).head(k)
-        return out
+            flat, indptr = codec.decode_positions_flat(
+                bytes(row.pos_blob) if row.pos_blob is not None else b"", tfs
+            )
+            rows = np.nonzero(mask)[0]
+            fvals, lens = _gather_csr(flat, indptr, rows)
+            iptr = np.concatenate(([0], np.cumsum(lens)))
+            decoded.append((term, d64[rows], tfs[rows], dl_arr[rows], fvals, iptr))
+        if not decoded:
+            return pd.DataFrame(columns=["qid", "docno", "score"]).astype(
+                {"qid": str, "docno": np.int64, "score": np.float32}
+            )
+        # candidate-doc universe = union of query-term docs in the shard
+        cand = np.unique(np.concatenate([d for _, d, _, _, _, _ in decoded]))
+        if cand_sorted is not None:
+            allow = cand_sorted.get(qid, np.empty(0, dtype=np.int64))
+            cand = cand[np.isin(cand, allow, assume_unique=True)]
+        if len(cand) == 0:
+            return pd.DataFrame(columns=["qid", "docno", "score"]).astype(
+                {"qid": str, "docno": np.int64, "score": np.float32}
+            )
+        m = len(cand)
+        dl_vec = np.zeros(m, dtype=np.int64)
+        # salted builds emit several docno-disjoint runs per term: order
+        # them by first docno and concatenate into one CSR per term
+        by_term: dict[str, list] = {}
+        for entry in decoded:
+            by_term.setdefault(entry[0], []).append(entry)
+        term_data: dict[str, TermData] = {}
+        for term, runs in by_term.items():
+            runs.sort(key=lambda e: int(e[1][0]))
+            d = np.concatenate([e[1] for e in runs])
+            tfs_m = np.concatenate([e[2] for e in runs])
+            dls_m = np.concatenate([e[3] for e in runs])
+            fvals = np.concatenate([e[4] for e in runs])
+            lens = np.concatenate([np.diff(e[5]) for e in runs])
+            pos = np.searchsorted(cand, d)
+            keep = (pos < m) & (cand[np.minimum(pos, m - 1)] == d)
+            doc_rows = pos[keep]
+            dl_vec[doc_rows] = dls_m[keep]
+            tf_vec = np.zeros(m, dtype=np.int64)
+            tf_vec[doc_rows] = tfs_m[keep]
+            iptr = np.concatenate(([0], np.cumsum(lens)))
+            if keep.all():
+                flat_k, iptr_k = fvals, iptr
+            else:
+                rows = np.nonzero(keep)[0]
+                flat_k, lens_k = _gather_csr(fvals, iptr, rows)
+                iptr_k = np.concatenate(([0], np.cumsum(lens_k)))
+            term_data[term] = TermData(tf_vec, doc_rows, iptr_k, flat_k)
+        scores = score_docs_batch(
+            cliques, term_data, dl_vec, stats, n_docs, avgdl, clen
+        )
+        # local top-k before the global merge (score desc, docno desc)
+        sel = np.lexsort((-cand, -scores.astype(np.float64)))[:k]
+        return pd.DataFrame(
+            {"qid": qid, "docno": cand[sel], "score": scores[sel]}
+        )
 
     local = runs.groupBy("qid", "shard").applyInPandas(
         kernel, schema="qid string, docno long, score float"

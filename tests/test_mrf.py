@@ -195,3 +195,96 @@ def test_window_kernels_vectorized_equals_scan():
             assert count_unordered_matches([p1, p2], win) == _count_unordered_scan(
                 [p1, p2], win
             ), (trial, win)
+
+
+def test_window_kernels_nreader_equals_scan():
+    """The batched chained-searchsorted path equals the reference scan
+    loop for 3- and 4-reader cliques (FD models), including duplicate
+    readers and lists that share positions across readers."""
+    import numpy as np
+
+    from ivory_spark.query.mrf import (
+        _count_ordered_scan,
+        _count_unordered_scan,
+        count_ordered_matches,
+        count_unordered_matches,
+    )
+
+    rng = np.random.RandomState(7)
+    for trial in range(300):
+        n_readers = 3 if trial % 2 == 0 else 4
+        lists = []
+        for _ in range(n_readers):
+            n = rng.randint(1, 60)
+            # sampled WITH replacement across readers: positions can be
+            # shared between readers (stress of the merged-stream tie rules)
+            lists.append(np.sort(rng.choice(np.arange(1, 200), size=n, replace=False)))
+        if trial % 5 == 0:
+            lists[1] = lists[0].copy()  # duplicate-token reader
+        for gap in (1, 3, 10):
+            assert count_ordered_matches(lists, gap) == _count_ordered_scan(
+                lists, gap
+            ), (trial, gap)
+        for win in (4, 12, 40):
+            assert count_unordered_matches(lists, win) == _count_unordered_scan(
+                lists, win
+            ), (trial, win)
+
+
+def test_score_docs_batch_equals_score_doc():
+    """score_docs_batch is bit-identical to the per-doc score_doc fold
+    across random multi-doc universes (term + od + uw cliques, bm25 and
+    dirichlet scorers)."""
+    import numpy as np
+
+    from ivory_spark.query.mrf import (
+        MrfModel,
+        FeatureSpec,
+        TermData,
+        build_cliques,
+        score_doc,
+        score_docs_batch,
+    )
+
+    rng = np.random.RandomState(11)
+    terms = ["a", "b", "c"]
+    stats = {"a": (40, 90), "b": (12, 30), "c": (3, 5)}
+    n_docs, avgdl, clen = 500, 37.5, 18750
+    for model in (
+        MrfModel(dependence="sd"),
+        MrfModel(dependence="fd"),
+        MrfModel(dependence="sd", features=[
+            FeatureSpec("term", 0.8, scorer="dirichlet", params={"mu": 900.0}),
+            FeatureSpec("od", 0.1, width=2, scorer="dirichlet", params={"mu": 700.0}),
+            FeatureSpec("uw", 0.1, width=4, scorer="dirichlet", params={"mu": 700.0}),
+        ]),
+    ):
+        cliques = build_cliques(["a", "b", "c"], model)
+        m = 25
+        dl = rng.randint(5, 120, size=m).astype(np.int64)
+        term_data = {}
+        per_doc: list[dict] = [dict() for _ in range(m)]
+        for t in terms:
+            has = rng.rand(m) < 0.6
+            doc_rows = np.nonzero(has)[0].astype(np.int64)
+            tf_vec = np.zeros(m, dtype=np.int64)
+            flats, lens = [], []
+            for r in doc_rows:
+                tf = rng.randint(1, 6)
+                pos = np.sort(rng.choice(np.arange(1, dl[r] + 1), size=min(tf, dl[r]), replace=False))
+                tf_vec[r] = len(pos)
+                flats.append(pos.astype(np.int64))
+                lens.append(len(pos))
+                per_doc[r][t] = (len(pos), pos.astype(np.int64))
+            flat = np.concatenate(flats) if flats else np.empty(0, dtype=np.int64)
+            iptr = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+            term_data[t] = TermData(tf_vec, doc_rows, iptr, flat)
+        got = score_docs_batch(cliques, term_data, dl, stats, n_docs, avgdl, clen)
+        want = np.array(
+            [
+                score_doc(cliques, per_doc[r], int(dl[r]), stats, n_docs, avgdl, clen)
+                for r in range(m)
+            ],
+            dtype=np.float32,
+        )
+        assert np.array_equal(got.view(np.uint32), want.view(np.uint32)), model.dependence
