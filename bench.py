@@ -189,8 +189,12 @@ def main() -> None:
         "corpus_bytes": corpus_bytes,
         "postings_bytes": postings_bytes,
         "index_bytes_total": index_bytes,
-        "host_parallel_speedup": round(host_speedup, 2),
-        "host_parallel_efficiency": round(host_speedup / cpus, 3),
+        # host CPU-delivery ceiling (pure-sha256 probe, no engine code):
+        # how many effective cores the oversubscribed sandbox delivered
+        # during this run. NOT the engine's scaling efficiency — that is
+        # measured solo by tools/bench_scaling.py (scaling_result.json,
+        # BENCH.md) on fresh JVMs at two parallelism levels.
+        "host_cpu_ceiling_speedup": round(host_speedup, 2),
         "build_partitions": build_partitions,
     }
     print(json.dumps(out))

@@ -81,17 +81,25 @@ def minhash_band_pairs(
     this are dropped before the self-join (a bucket of size s yields
     s^2/2 pairs; one hot bucket can dominate the whole job). Standard
     LSH practice; costs recall only for documents whose every band
-    lands in a hot bucket. None = exact banding (use for oracle checks)."""
+    lands in a hot bucket. None = exact banding (use for oracle checks).
+
+    Plan shape: all band keys are emitted in ONE posexplode pass over
+    the signature table (an n_bands-way union of selects would
+    re-evaluate the signature aggregation once per band per join side),
+    and both self-join sides share the same (band, bkey) exchange, which
+    Spark reuses."""
     n_bands = n_hashes // band_size
-    bands = None
-    for bnd in range(n_bands):
-        key = F.concat_ws(
-            "_", *[F.col(f"m{bnd * band_size + j}") for j in range(band_size)]
-        )
-        part = signatures.select(
-            F.col(id_col), F.lit(bnd).alias("band"), key.alias("bkey")
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    keys = F.array(
+        *[
+            F.concat_ws(
+                "_", *[F.col(f"m{bnd * band_size + j}") for j in range(band_size)]
+            )
+            for bnd in range(n_bands)
+        ]
+    )
+    bands = signatures.select(
+        F.col(id_col), F.posexplode(keys).alias("band", "bkey")
+    )
     if max_bucket is not None:
         from pyspark.sql import Window
 
@@ -180,14 +188,17 @@ def simhash_pairs(
     None = exact, use for oracle checks)."""
     n_bands = max_hamming + 1
     base, rem = divmod(bits, n_bands)
-    bands = None
+    keys = []
     off = 0
     for i in range(n_bands):
         w = base + (1 if i < rem else 0)
-        key = F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit((1 << w) - 1))
-        part = sims.select(F.col(id_col), F.lit(i).alias("band"), key.alias("bkey"))
-        bands = part if bands is None else bands.unionByName(part)
+        keys.append(
+            F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit((1 << w) - 1))
+        )
         off += w
+    # one posexplode pass (not an n_bands union, which would re-evaluate
+    # the upstream signature aggregation once per band per join side)
+    bands = sims.select(F.col(id_col), F.posexplode(F.array(*keys)).alias("band", "bkey"))
     if max_bucket is not None:
         from pyspark.sql import Window
 

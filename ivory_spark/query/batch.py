@@ -56,14 +56,94 @@ class Model:
     k: int = 10
 
 
-def parse_model_xml(path_or_text: str) -> Model:
-    """<model id=".." score="bm25" k1="1.2" b="0.75" hits="10"/>"""
+# scoreFunction class suffix -> (scorer name, [(attr, default)]); defaults
+# mirror the reference scoring functions' XML defaults
+# (DirichletScoringFunction.java:37 mu=2500, BM25ScoringFunction.java:40-42
+# k1=1.2 b=0.75 idf=okapi, JelinekMercerScoringFunction.java:39 lambda=0.7).
+_SCORE_FUNCTIONS = {
+    "DirichletScoringFunction": ("dirichlet", [("mu", 2500.0)]),
+    "BM25ScoringFunction": ("bm25", [("k1", 1.2), ("b", 0.75), ("idf", "okapi")]),
+    "JelinekMercerScoringFunction": ("jm", [("lambda", 0.7)]),
+    "TFIDFScoringFunction": ("tfidf", []),
+    "F2EXPScoringFunction": ("f2exp", [("s", 0.5)]),
+}
+
+
+def _parse_feature(node):
+    """One <feature> -> FeatureSpec, mirroring FeatureBasedMRFBuilder.java:
+    61-140: the cliqueSet picks the term groups, the expression generator
+    picks od/uw and the window width, the scoreFunction picks scorer +
+    params (run.robust04.basic.xml is the canonical instance)."""
+    from ivory_spark.query.mrf import FeatureSpec
+
+    a = dict(node.attrib)
+    weight = float(a.get("weight", "1.0"))
+    cs = a.get("cliqueSet", "TermCliqueSet").rsplit(".", 1)[-1]
+    gen = a.get("generator", "TermExpressionGenerator").rsplit(".", 1)[-1]
+    sf = a.get("scoreFunction", "BM25ScoringFunction").rsplit(".", 1)[-1]
+    if sf not in _SCORE_FUNCTIONS:
+        raise ValueError(f"unsupported scoreFunction: {sf}")
+    scorer, param_spec = _SCORE_FUNCTIONS[sf]
+    params = {}
+    for name, default in param_spec:
+        raw = a.get(name)
+        if raw is None:
+            params[name] = default
+        else:
+            params[name] = raw if isinstance(default, str) else float(raw)
+    if cs == "TermCliqueSet":
+        return FeatureSpec("term", weight, scorer=scorer, params=params)
+    kind = "od" if gen == "OrderedWindowExpressionGenerator" else "uw"
+    width = int(a.get("width", "1" if kind == "od" else "4"))
+    dependence = a.get("dependence", "sequential")
+    if dependence == "sequential":
+        cliques = "sequential"
+    elif cs == "OrderedCliqueSet":
+        cliques = "full_contiguous"  # CliqueFactory ordered=true path
+    else:
+        cliques = "full_noncontiguous"  # UnorderedCliqueSet full
+    return FeatureSpec(
+        kind, weight, width=width, scorer=scorer, params=params, cliques=cliques
+    )
+
+
+def parse_model_xml(path_or_text: str, model_id: str | None = None):
+    """Parse an Ivory <model> spec. Returns:
+
+    - Model (bag-of-words scorer + params) for the attribute-only form
+      <model score="bm25" k1=".."/> or a type="Feature" model whose only
+      feature is a weight-1.0 TermCliqueSet (full-independence — routed to
+      the faster bag-of-words paths, same scores);
+    - MrfModel for type="Feature" models with proximity features
+      (SD/FD run files like run.robust04.basic.xml), each <feature>
+      mapped by _parse_feature.
+
+    model_id selects among multiple <model> nodes (BatchQueryRunner.java
+    runs every model in the file; callers here pick one); default = first."""
     text = path_or_text
     if not path_or_text.lstrip().startswith("<"):
         with open(path_or_text) as f:
             text = f.read()
     root = ET.fromstring(text)
-    node = root if root.tag == "model" else next(root.iter("model"))
+    if root.tag == "model":
+        node = root
+    else:
+        nodes = list(root.iter("model"))
+        if model_id is not None:
+            nodes = [n for n in nodes if n.attrib.get("id") == model_id]
+            if not nodes:
+                raise KeyError(f"model id {model_id!r} not found")
+        node = nodes[0]
+    features = [c for c in node if c.tag == "feature"]
+    if features:
+        from ivory_spark.query.mrf import MrfModel
+
+        specs = [_parse_feature(f) for f in features]
+        k = int(node.attrib.get("hits", node.attrib.get("k", "10")))
+        if len(specs) == 1 and specs[0].kind == "term" and specs[0].weight == 1.0:
+            # full independence — bag-of-words semantics, faster path
+            return Model(scorer=specs[0].scorer, params=specs[0].params, k=k)
+        return MrfModel(dependence="sd", features=specs, k=k)
     attrs = dict(node.attrib)
     scorer = attrs.pop("score", attrs.pop("scorer", "bm25"))
     k = int(attrs.pop("hits", attrs.pop("k", "10")))
@@ -82,8 +162,9 @@ def parse_model_xml(path_or_text: str) -> Model:
 def write_trec_lines(
     rows, path: str, tag: str = "ivory_spark"
 ) -> int:
-    """Single owner of the TREC run format: rows are (qid, rank, docid,
-    score) tuples/dicts; .gz suffix → gzip. Returns line count."""
+    """Single owner of the TREC run format: rows are dict-like (dict or
+    pyspark Row) with qid/rank/docid/score keys; .gz suffix → gzip.
+    Returns line count."""
     opener = gzip.open if path.endswith(".gz") else open
     n = 0
     with opener(path, "wt") as f:
@@ -106,13 +187,18 @@ def run_batch(
     spark: SparkSession,
     index,
     queries: list[dict],
-    model: Model | None = None,
+    model=None,  # Model | MrfModel | None
     use_wand: bool = True,
 ) -> DataFrame:
     """End-to-end batch retrieval with a model spec (RunQueryLocal
     analogue). Only bm25 has the WAND fast path; other scorers use the
-    exact relational plan."""
+    exact relational plan; MrfModel specs (SD/FD run files) route to the
+    positional MRF kernel."""
     model = model or Model()
+    from ivory_spark.query.mrf import MrfModel, mrf_topk
+
+    if isinstance(model, MrfModel):
+        return mrf_topk(spark, index, queries, model=model)
     if model.scorer == "bm25":
         props = index.properties
         overridden = any(

@@ -235,10 +235,11 @@ def _fold_scores(cand: DataFrame) -> DataFrame:
     # shard count follows session parallelism (capped): enough groups to
     # spread one query's candidates across the executors, few enough to
     # avoid the tiny-pandas-group dispatch tax on small gate-sized runs
-    n_shards = min(
-        _FOLD_SHARDS,
-        max(1, int(cand.sparkSession.conf.get("spark.sql.shuffle.partitions", "64"))),
-    )
+    try:
+        sess_par = int(cand.sparkSession.conf.get("spark.sql.shuffle.partitions", "64"))
+    except ValueError:  # e.g. "auto" under AQE-style configs
+        sess_par = _FOLD_SHARDS
+    n_shards = min(_FOLD_SHARDS, max(1, sess_par))
     return (
         cand.select("qid", "docno", "termid", "contrib")
         .withColumn("_shard", F.pmod(F.col("docno"), F.lit(n_shards)))
@@ -318,6 +319,16 @@ def scored_topk(
 
     postings = _decode_runs(candidate_postings(index, termids))
     if scorer in ("dirichlet", "jm"):
+        # the LM plan references `postings` twice (prescore `matched` join
+        # + survivor re-join) — persist so the mapInPandas blob decode runs
+        # once per partition, not twice. Lifetime: the previous call's
+        # cache is released here (one-deep registry) rather than after the
+        # caller's action, which this lazy API cannot observe.
+        prev = getattr(scored_topk, "_cached_postings", None)
+        if prev is not None:
+            prev.unpersist()
+        postings = postings.persist()
+        scored_topk._cached_postings = postings
         matched = postings.join(F.broadcast(qt), "termid")
         if lm_prune and k > 0:
             # ---- matrix-free double prescore (the LM scale path) ----

@@ -234,6 +234,16 @@ class FeatureSpec:
     width: int = 1  # od: gap size; uw: window = len(terms) * width
     scorer: str = "bm25"
     params: dict = field(default_factory=dict)
+    # which term groups this feature applies to (the reference separates
+    # clique selection from window kind: OrderedCliqueSet picks groups,
+    # the ExpressionGenerator picks od/uw — FeatureBasedMRFBuilder.java:
+    # 61-140, CliqueFactory.java:40-170):
+    #   "auto"               — follow the model's dependence (sd → bigrams,
+    #                          fd → od:contiguous / uw:non-contiguous)
+    #   "sequential"         — adjacent bigrams
+    #   "full_contiguous"    — contiguous multi-term subsets
+    #   "full_noncontiguous" — non-contiguous multi-term subsets
+    cliques: str = "auto"
 
 
 @dataclass
@@ -275,15 +285,22 @@ def build_cliques(tokens: list[str], model: MrfModel) -> list[dict]:
                      "window": 0, "scorer": feat.scorer, "params": feat.params}
                 )
         elif feat.kind in ("od", "uw"):
+            sel = feat.cliques
+            if sel == "auto":
+                if model.dependence == "sd":
+                    sel = "sequential"
+                else:
+                    sel = "full_contiguous" if feat.kind == "od" else "full_noncontiguous"
             groups: list[list[str]] = []
-            if model.dependence == "sd":
+            if sel == "sequential":
                 groups = [[a, b] for a, b in zip(tokens, tokens[1:])]
-            else:  # fd
+            elif sel in ("full_contiguous", "full_noncontiguous"):
+                want_contig = sel == "full_contiguous"
                 for members, contiguous in _subsets_fd(len(tokens)):
-                    if feat.kind == "od" and contiguous:
+                    if contiguous == want_contig:
                         groups.append([tokens[j] for j in members])
-                    elif feat.kind == "uw" and not contiguous:
-                        groups.append([tokens[j] for j in members])
+            else:
+                raise ValueError(f"unknown clique selection: {feat.cliques}")
             for g in groups:
                 window = feat.width if feat.kind == "od" else len(g) * feat.width
                 cliques.append(

@@ -133,7 +133,15 @@ def streaming_neardup_candidates(
                 if seen:
                     out.append((band, bkey, doc, seen[0], len(seen)))
                 seen.append(doc)
-                if len(seen) > max_state:  # FIFO bound per bucket
+                if len(seen) > max_state:
+                    # FIFO bound per bucket. Caveat: an at-least-once
+                    # re-delivery of a doc that has aged PAST the window is
+                    # indistinguishable from a new doc and re-emits as a
+                    # fresh candidate (the self-pair guard only covers the
+                    # retained window), and first_seen_doc drifts to the
+                    # oldest RETAINED doc. Downstream dedups candidate
+                    # pairs anyway; size max_state to the source's
+                    # redelivery horizon if exact-once emission matters.
                     seen = seen[-max_state:]
         state.update((seen,))
         if ttl_ms is not None:
