@@ -64,3 +64,34 @@ weiter welche welchem welchen welcher welches wenn werde werden wie
 wieder will wir wird wirst wo wollen wollte würde würden zu zum zur
 zwar zwischen
 """.split())
+
+
+# Czech stopword list for the lucene_cs chain — standard public Czech
+# function-word list (the role of the Lucene CzechAnalyzer stoplist the
+# reference uses for cs; reproduced behavior, standard public data).
+STOPWORDS_CS = frozenset("""
+a aby ale ani ano až bez bude budem budeš by byl byla byli bylo být co
+což cz či další dnes do ho i jak jako je jeho jej její jejich jen ještě
+ji jiné již jsem jsi jsme jsou jste k kam kde kdo když ke která které
+který kteří ku má mají máte mezi mi mít mně mnou můj může my na nad nám
+napište náš naši ne nebo nechť nejsou není než nic nové nový o od ode on
+ona oni ono pak po pod podle pokud pouze právě pro proč proto protože
+první před přes při s se si sice strana své svůj svých svým svými ta tak
+také takže tato te tedy ten tento této tím tímto to toho tohoto tom
+tomto tomuto tu tuto ty tyto u už v vám váš vaše ve více však všechen
+vy z za zda zde ze že
+""".split())
+
+# Arabic stopword list for the lucene_ar chain — common particles,
+# prepositions and pronouns (the role of the Lucene ArabicAnalyzer
+# stoplist; reproduced behavior, standard public data). Stored in
+# SURFACE form; the tokenizer matches stopwords before normalization
+# and stemming, mirroring the reference's stopword-then-stem order
+# (LuceneArabicAnalyzer.java:70-78).
+STOPWORDS_AR = frozenset("""
+من في على و فى يا ما لا ان إن أن إلى الى عن مع هذا هذه ذلك تلك هو هي هم
+هن أو او ثم بل لم لن لو كان كانت يكون قد كل بعض غير بين عند عندما حتى إذا
+اذا كيف أين اين متى لماذا ماذا منذ خلال حول دون بعد قبل فوق تحت أمام امام
+وراء ليس ليست هناك هنا أيضا ايضا فقط ولكن لكن إلا الا كما لدى لها له لهم
+نحن أنا انا أنت انت أنتم انتم به بها بهم إذ اذ أي اي أما اما أن
+""".split())

@@ -198,6 +198,62 @@ def galago_de_tokenize_py(content: str) -> list[str]:
     ]
 
 
+# ---------------------------------------------------------------------------
+# lucene_cs / lucene_ar: the reference's cs and ar analysis chains
+# (TokenizerFactory.java:15-100 — cs via a Lucene analyzer + CzechStemmer,
+# ar via LuceneArabicAnalyzer = normalization + light10 stem), re-expressed
+# as published-algorithm Python chains (stemmer_cs.py, stemmer_ar.py).
+# ---------------------------------------------------------------------------
+
+GALAGO_CS_PATTERN = r"[a-záčďéěíňóřšťúůýž0-9]+"
+_GRX_CS = re.compile(GALAGO_CS_PATTERN)
+# Arabic letters (hamza..ya incl. extended) + latin/digits fallback
+_GRX_AR = re.compile(r"[ء-غف-يٱa-z0-9]+")
+
+
+@lru_cache(maxsize=1 << 18)
+def _stem_cs(token: str) -> str:
+    from ivory_spark.functions.stemmer_cs import czech_stem
+
+    return czech_stem(token)
+
+
+@lru_cache(maxsize=1 << 18)
+def _stem_ar(token: str) -> str:
+    from ivory_spark.functions.stemmer_ar import arabic_light
+
+    return arabic_light(token)
+
+
+def lucene_cs_tokenize_py(content: str) -> list[str]:
+    from ivory_spark.functions.stopwords import STOPWORDS_CS
+
+    if not content:
+        return []
+    return [
+        _stem_cs(t)
+        for t in _GRX_CS.findall(content.lower())
+        if len(t) <= MAX_TOKEN_LEN and t not in STOPWORDS_CS
+    ]
+
+
+def lucene_ar_tokenize_py(content: str) -> list[str]:
+    """Stopword removal happens on the SURFACE form, before
+    normalization/stemming (LuceneArabicAnalyzer.java:70-78 order)."""
+    from ivory_spark.functions.stopwords import STOPWORDS_AR
+
+    if not content:
+        return []
+    out = []
+    for t in _GRX_AR.findall(content.lower()):
+        if len(t) > MAX_TOKEN_LEN or t in STOPWORDS_AR:
+            continue
+        s = _stem_ar(t)
+        if s:
+            out.append(s)
+    return out
+
+
 def _python_doc_terms(tokenize_fn, positional: bool):
     """mapInPandas (docno, term, tf[, positions]) builder for tokenizers
     that need Python (stemming). One Arrow batch is the unit of work;
@@ -346,5 +402,21 @@ register_tokenizer(
         cjk_bigram_tokenize_py,
         _python_doc_terms(cjk_bigram_tokenize_py, positional=False),
         _python_doc_terms(cjk_bigram_tokenize_py, positional=True),
+    )
+)
+register_tokenizer(
+    TokenizerSpec(
+        "lucene_cs",
+        lucene_cs_tokenize_py,
+        _python_doc_terms(lucene_cs_tokenize_py, positional=False),
+        _python_doc_terms(lucene_cs_tokenize_py, positional=True),
+    )
+)
+register_tokenizer(
+    TokenizerSpec(
+        "lucene_ar",
+        lucene_ar_tokenize_py,
+        _python_doc_terms(lucene_ar_tokenize_py, positional=False),
+        _python_doc_terms(lucene_ar_tokenize_py, positional=True),
     )
 )

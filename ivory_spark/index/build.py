@@ -191,6 +191,14 @@ def build_index(
             else:
                 tdf = tok.doc_terms(docmap.select("docno", "content"))
             from pyspark.sql import Window
+            # range-cluster by docno BEFORE the dl window: RangePartitioning
+            # satisfies the window's ClusteredDistribution(docno), so this
+            # replaces (not adds to) the window's hash exchange — and the
+            # written files then cover disjoint docno ranges with tight
+            # parquet min/max stats, so docno-selective readers (PRF
+            # feedback-doc mining, forward-index lookups) prune to a few
+            # row groups instead of scanning the whole artifact.
+            tdf = tdf.repartitionByRange(partitions, "docno")
             w = Window.partitionBy("docno")
             tdf = tdf.withColumn("dl", F.sum("tf").over(w).cast("int"))
             tdf.write.mode("overwrite").parquet(tdf_path)

@@ -23,37 +23,21 @@ of labor as streaming_exact_dedup's watermark). state_ttl_minutes=None
 drains hang in this PySpark build (verified), so tests and bounded
 backfills must run without TTL.
 
-Signatures are md5-based via the SAME formula as the batch
-minhash_signatures (ops/dedup.portable_hash), asserted equal in tests,
-so stream-flagged candidates agree with batch-computed ones.
+Signatures are native column expressions over the SAME hash formula as
+the batch minhash_signatures (ops/dedup.portable_hash — md5-based, so
+DuckDB-reproducible), asserted band-key-equal in tests, so
+stream-flagged candidates agree with batch-computed ones. No Python UDF
+runs in the signature stage: the per-token seeded hashes are
+F.transform/F.array_min lambdas, JVM-evaluated per row.
 """
 
 from __future__ import annotations
-
-import hashlib
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 MINHASH_N = 12
 BAND_SIZE = 3
-
-
-def _minhash_sig(text: str, n_hashes: int = MINHASH_N) -> list[int]:
-    """Row-local minhash signature, identical to the batch
-    ops/dedup.minhash_signatures (md5 over distinct whitespace tokens)."""
-    toks = {t for t in (text or "").lower().split(" ") if t}
-    if not toks:
-        return None  # token-less doc: no bands (batch parity — no sig row)
-    out = []
-    for j in range(n_hashes):
-        out.append(
-            min(
-                int(hashlib.md5(f"{j}:{t}".encode()).hexdigest()[:15], 16)
-                for t in toks
-            )
-        )
-    return out
 
 
 def band_rows(
@@ -64,26 +48,35 @@ def band_rows(
     band_size: int = BAND_SIZE,
 ) -> DataFrame:
     """(doc_id, band, bkey): one row per LSH band per document, computed
-    row-locally (no groupBy, so it composes onto an unbounded stream)."""
+    row-locally (no groupBy, no Python UDF — composes onto an unbounded
+    stream). The minhash is min over the doc's distinct tokens of the
+    seeded portable_hash, identical to the batch minhash_signatures
+    aggregation; all bands emit from ONE posexplode pass."""
+    from ivory_spark.ops.dedup import _tokens, portable_hash
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def sig_udf(texts: pd.Series) -> pd.Series:
-        return pd.Series([_minhash_sig(t, n_hashes) for t in texts])
+    toks = F.array_distinct(_tokens(F.col(text_col)))
 
+    # closure factory, NOT `lambda t, j=j`: pyspark gives a two-arg
+    # transform lambda (element, index) — a defaulted second param would
+    # silently receive the array index instead of the seed
+    def _min_hash(j: int):
+        return F.array_min(F.transform(toks, lambda t: portable_hash(t, j)))
+
+    sig = [_min_hash(j) for j in range(n_hashes)]
     n_bands = n_hashes // band_size
-    sig = (
-        stream.filter(F.col(id_col).isNotNull())
-        .select(F.col(id_col).alias("doc_id"), sig_udf(F.col(text_col)).alias("sig"))
-        .filter(F.col("sig").isNotNull())
+    keys = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                *[sig[b * band_size + j].cast("string") for j in range(band_size)],
+            )
+            for b in range(n_bands)
+        ]
     )
-    parts = None
-    for b in range(n_bands):
-        key = F.concat_ws(
-            "_", *[F.col("sig")[b * band_size + j].cast("string") for j in range(band_size)]
-        )
-        p = sig.select("doc_id", F.lit(b).alias("band"), key.alias("bkey"))
-        parts = p if parts is None else parts.unionByName(p)
-    return parts
+    return (
+        stream.filter(F.col(id_col).isNotNull() & (F.size(toks) > 0))
+        .select(F.col(id_col).alias("doc_id"), F.posexplode(keys).alias("band", "bkey"))
+    )
 
 
 _OUT_SCHEMA = T.StructType(

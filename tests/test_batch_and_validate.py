@@ -270,12 +270,92 @@ print("RESULT_JSON:" + json.dumps(rows))
     assert all(r["doc_id"] != 20 for r in got)  # unique doc never collides
     assert all(r["doc_id"] != r["first_seen_doc"] for r in got)  # no self-pairs
 
-    # signature parity with the batch operator
+    # signature parity with the batch operator: the stream's band keys
+    # (native-expression minhash, band_rows run here in batch mode — all
+    # exprs are row-local) equal the batch minhash_signatures' band keys
     from ivory_spark.ops.dedup import minhash_signatures
-    from ivory_spark.streaming.neardup import _minhash_sig
+    from ivory_spark.streaming.neardup import band_rows
 
-    dup_text = "alpha beta gamma delta epsilon zeta eta theta"
-    batch = minhash_signatures(
-        spark.createDataFrame([(1, dup_text)], "doc_id long, text string")
-    ).collect()[0]
-    assert [batch[f"m{j}"] for j in range(12)] == _minhash_sig(dup_text)
+    texts = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "totally different words entirely here"),
+        (3, ""),  # token-less: no band rows from either path
+    ]
+    bdf = spark.createDataFrame(texts, "doc_id long, content string")
+    stream_keys = {
+        (r["doc_id"], r["band"], r["bkey"]) for r in band_rows(bdf).collect()
+    }
+    batch_keys = set()
+    for row in minhash_signatures(bdf, text_col="content").collect():
+        for b in range(4):
+            key = "_".join(str(row[f"m{b * 3 + j}"]) for j in range(3))
+            batch_keys.add((row["doc_id"], b, key))
+    assert stream_keys == batch_keys and len(stream_keys) == 8
+
+
+def test_streaming_neardup_multibatch(spark, tmp_path):
+    """Cross-micro-batch state: a duplicate arriving in a LATER micro-batch
+    still pairs against the first batch's occupant, and a re-delivered
+    doc_id never self-pairs. File-source ordering is pinned with os.utime
+    (the file source orders same-mtime files arbitrarily). Subprocess-
+    isolated like the single-batch test."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    script = r"""
+import json, os, sys
+sys.path.insert(0, %(repo)r)
+import pandas as pd
+from ivory_spark.session import get_spark
+from ivory_spark.streaming.ingest import CORPUS_SCHEMA
+from ivory_spark.streaming.neardup import streaming_neardup_candidates
+from pyspark.sql import types as T
+
+spark = get_spark("nd-sub2", cores=2, shuffle_partitions=2)
+dup = "alpha beta gamma delta epsilon zeta eta theta"
+schema = T.StructType(CORPUS_SCHEMA.fields + [T.StructField("doc_id", T.LongType())])
+d = %(dir)r
+
+def write(name, rows, mtime):
+    p = os.path.join(d, name)
+    pd.DataFrame(
+        {"repo": ["r"] * len(rows), "path": [str(i) for i, _ in rows],
+         "commit": ["c"] * len(rows), "lang": ["x"] * len(rows),
+         "content": [t for _, t in rows],
+         "ingest_ts": pd.Series([pd.Timestamp("2026-01-01")] * len(rows)).astype("datetime64[us]"),
+         "doc_id": [i for i, _ in rows]}
+    ).to_parquet(p, index=False)
+    os.utime(p, (mtime, mtime))
+
+write("b0.parquet", [(10, dup)], 1_000_000)
+write("b1.parquet", [(30, dup), (10, dup)], 1_000_100)  # dup + re-delivery
+stream = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(d))
+out = streaming_neardup_candidates(stream)
+q = (out.writeStream.outputMode("append").format("memory").queryName("nd2")
+     .trigger(availableNow=True).start())
+q.awaitTermination()
+rows = [r.asDict() for r in spark.sql("select * from nd2").collect()]
+print("RESULT_JSON:" + json.dumps(rows))
+"""
+    stream_dir = str(tmp_path / "nd2")
+    os.makedirs(stream_dir)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        proc = subprocess.run(
+            [_sys.executable, "-c", script % {"repo": repo_root, "dir": stream_dir}],
+            capture_output=True, text=True, timeout=240, check=False,
+        )
+    except subprocess.TimeoutExpired:
+        pytest.skip("stateful-streaming drain exceeded 240s in subprocess (flake)")
+    tail = (proc.stdout + proc.stderr)[-800:]
+    result_lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT_JSON:")]
+    if proc.returncode != 0 or not result_lines:
+        pytest.skip(f"stateful-streaming drain failed/flaked in subprocess: {tail}")
+    got = json.loads(result_lines[0][len("RESULT_JSON:"):])
+    flagged = [r for r in got if r["doc_id"] == 30]
+    assert len(flagged) == 4  # doc 30 pairs against batch-0 state in all 4 bands
+    assert all(r["first_seen_doc"] == 10 for r in flagged)
+    # re-delivered doc 10 must not self-pair or re-emit
+    assert all(r["doc_id"] != 10 for r in got)

@@ -107,3 +107,34 @@ def test_expansion_identity_min_df2(spark, tiny_corpus, tiny_corpus_path, tmp_pa
 
     golden = oracle_topk_weighted(oi2, wq_oracle, k=K)
     _assert_match(bm25_topk(spark, idx2, wq_spark, k=K, weighted=True), golden)
+
+
+def test_tdf_range_clustered_by_docno(idx):
+    """The tdf artifact is written range-partitioned by docno
+    (index/build.py tdf stage), so docno-selective readers (PRF
+    feedback-doc mining) prune row groups via parquet min/max stats:
+    per-file docno ranges must be pairwise disjoint."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(idx.root, "tdf", "*.parquet")))
+    assert files
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        if md.num_rows == 0:
+            continue
+        rg0 = md.row_group(0)
+        ci = next(
+            i for i in range(rg0.num_columns)
+            if rg0.column(i).path_in_schema == "docno"
+        )
+        lo = min(md.row_group(g).column(ci).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(ci).statistics.max for g in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    assert len(ranges) >= 2, "need multiple non-empty files to assert clustering"
+    ranges.sort()
+    for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, ranges

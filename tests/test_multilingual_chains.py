@@ -1,0 +1,123 @@
+"""lucene_cs / lucene_ar analysis chains: stemmer goldens from the
+published algorithm specs (Dolamic–Savoy Czech light stemmer; Larkey
+light10 Arabic), registry round-trip, and end-to-end build + retrieval
+rank identity vs the numpy oracle on synthetic Czech/Arabic corpora —
+mirroring the reference's cs/ar tokenizer coverage
+(ivory/core/tokenize/TokenizerFactory.java:15-100)."""
+
+import hashlib
+
+import pandas as pd
+import pytest
+
+from ivory_spark.functions.stemmer_ar import arabic_light, arabic_normalize
+from ivory_spark.functions.stemmer_cs import czech_stem
+from ivory_spark.functions.tokenizer import get_tokenizer
+from ivory_spark.index.build import IndexConfig, build_index
+from ivory_spark.index.reader import open_index
+from ivory_spark.oracle import build_oracle_index, oracle_topk
+from ivory_spark.query.exact import bm25_topk
+
+from test_rank_identity import assert_matches_oracle
+
+
+def test_czech_stem_goldens():
+    # Dolamic–Savoy light-stemmer behavior (case + possessive endings,
+    # palatalisation folds)
+    assert czech_stem("ženami") == "žen"      # -ami instrumental
+    assert czech_stem("ženách") == "žen"      # -ách locative
+    assert czech_stem("matčin") == "matk"     # -in possessive + či->k
+    assert czech_stem("soudcích") == "soudc"  # -ích; "cí" != "ci" so no k-fold
+    assert czech_stem("vojáci") == "voják"    # -ci -> k palatalise
+    assert czech_stem("pražských") == "pražsk"
+    assert czech_stem("městem") == "měst"     # -em + e-delete
+    assert czech_stem("atech") == "atech"     # too short for -atech (len>7)
+    assert czech_stem("lesy") == "les"        # -y plural
+    assert czech_stem("okno") == "okn"        # -o neuter
+    # palatalisation ze->h
+    assert czech_stem("praze") == "prah"
+
+
+def test_arabic_normalize_and_stem_goldens():
+    assert arabic_normalize("أحمد") == "احمد"          # alef hamza fold
+    assert arabic_normalize("مكتبة") == "مكتبه"        # teh marbuta -> heh
+    assert arabic_normalize("مستشفى") == "مستشفي"      # maksura -> ya
+    assert arabic_light("والكتاب") == "كتاب"           # wal- prefix
+    assert arabic_light("المكتبة") == "مكتب"           # al- prefix + -ه suffix
+    assert arabic_light("كتابها") == "كتاب"            # -ها suffix
+    assert arabic_light("مسلمون") == "مسلم"            # -ون suffix
+    assert arabic_light("وزير") == "زير"               # waw stripped (≥3 remain)
+    assert arabic_light("ولد") == "ولد"                # waw kept: residual < 3
+
+
+def test_chain_tokenize_stopwords():
+    cs = get_tokenizer("lucene_cs").tokenize_py
+    assert cs("Ženami a ženách, ale okno!") == ["žen", "žen", "okn"]
+    ar = get_tokenizer("lucene_ar").tokenize_py
+    # stopwords (من, في) dropped on surface form; content words stemmed
+    toks = ar("الكتاب من المكتبة في بيتها")
+    assert toks == ["كتاب", "مكتب", "بيت"]
+
+
+def _mini_corpus(vocab_docs: list[str], lang: str) -> pd.DataFrame:
+    rows = []
+    for i, content in enumerate(vocab_docs):
+        rows.append((f"org/{lang}", f"doc/{i}",
+                     hashlib.sha1(f"{lang}{i}".encode()).hexdigest(), lang, content))
+    return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+
+CS_DOCS = [
+    "ženami a dětmi v praze",
+    "žena šla do města",
+    "soudcích a soudce v budově",
+    "pražských ulicích chodí lidé",
+    "okno domu bylo otevřené",
+    "lesy a louky kolem města",
+    "matčin dům stojí u lesa",
+    "městem projela tramvaj",
+] * 3
+
+AR_DOCS = [
+    "الكتاب في المكتبة الكبيرة",
+    "كتابها الجديد عن التاريخ",
+    "المكتبات العامة في المدينة",
+    "وزير التعليم زار المدرسة",
+    "مسلمون كثيرون في البلاد",
+    "مستشفى المدينة قريب من البيت",
+    "احمد يقرأ الكتب كل يوم",
+    "بيتها قريب من المكتبة",
+] * 3
+
+
+@pytest.mark.parametrize(
+    "tok,docs,queries",
+    [
+        ("lucene_cs", CS_DOCS, [
+            {"qid": "c1", "query": "ženách v městě"},
+            {"qid": "c2", "query": "pražský soudce"},
+        ]),
+        ("lucene_ar", AR_DOCS, [
+            {"qid": "a1", "query": "الكتب والمكتبات"},
+            {"qid": "a2", "query": "مستشفي المدينة"},
+        ]),
+    ],
+)
+def test_e2e_rank_identity(spark, tmp_path_factory, tok, docs, queries):
+    """Build + BM25 retrieval under the cs/ar chains stays float32
+    rank-identical to the numpy oracle, and inflected query forms hit
+    documents containing other inflections of the same lemma."""
+    corpus = _mini_corpus(docs, tok.split("_")[1])
+    d = tmp_path_factory.mktemp(f"corpus_{tok}")
+    p = str(d / "corpus.parquet")
+    corpus.to_parquet(p, index=False)
+    root = str(d / "idx")
+    props = build_index(spark, p, root, IndexConfig(tokenizer=tok))
+    assert props["tokenizer"] == tok
+    index = open_index(spark, root)
+    oi = build_oracle_index(corpus, tokenizer=tok)
+    golden = oracle_topk(oi, queries, k=10)
+    got = bm25_topk(spark, index, queries, k=10)
+    assert_matches_oracle(got, golden)
+    # stemming unified at least one inflected query with the corpus
+    assert any(len(v) > 0 for v in golden.values())

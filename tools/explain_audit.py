@@ -92,6 +92,20 @@ def main() -> None:
         sections.append((f"dedup plan: {name}",
                          f"BroadcastNestedLoopJoin present: {has}\n"))
 
+    # PRF feedback-doc mining read: docno IN (...) must reach the tdf
+    # parquet scan; tdf is range-clustered by docno at write so the
+    # pushed filter prunes row groups instead of scanning the artifact
+    import pyspark.sql.functions as F
+
+    tdf = spark.read.parquet(os.path.join(index_root, "tdf"))
+    prf_read = tdf.filter(F.col("docno").isin([1, 2, 3])).select(
+        "term", "docno", "tf", "dl"
+    )
+    plan3 = captured_explain(prf_read)
+    ok_prf = "In(docno" in plan3 or "PushedFilters: [docno" in plan3
+    sections.append(("PRF tdf read (docno-selective)", plan3))
+    sections.append(("PRF read checks", f"docno pushdown reaches parquet: {ok_prf}\n"))
+
     text = "\n".join(f"## {t}\n\n```\n{b}\n```\n" for t, b in sections)
     if out_md:
         with open(out_md, "w") as f:
@@ -100,6 +114,7 @@ def main() -> None:
     print("PUSHDOWN_OK" if ok_pushdown else "PUSHDOWN_MISSING")
     print("PRUNING_OK" if ok_pruned else "PRUNING_MISSING")
     print("NO_BNLJ_OK" if ok_no_bnlj else "BNLJ_PRESENT")
+    print("PRF_PUSHDOWN_OK" if ok_prf else "PRF_PUSHDOWN_MISSING")
 
 
 if __name__ == "__main__":
