@@ -254,6 +254,20 @@ def _engine_prf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round4(bm25_topk(spark, index, wq, k=10, weighted=True))
 
 
+def _engine_lce_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latent-concept-expansion variant (UnigramLatentConceptExpander
+    analogue): feedback docs weighted by exp(doc score) in concept
+    mining, then the same weighted retrieval."""
+    from ivory_spark.query.exact import bm25_topk
+    from ivory_spark.query.expander import expand_queries
+
+    index = _engine_index(spark, sf_dir)
+    wq = expand_queries(
+        spark, index, IR.GATE_QUERIES, fb_docs=5, fb_terms=8, method="lce"
+    )
+    return _round4(bm25_topk(spark, index, wq, k=10, weighted=True))
+
+
 # ---------------------------------------------------------------------------
 # engine-path oracles: float32-emulating DuckDB SQL
 #
@@ -528,13 +542,17 @@ FROM top t JOIN edocmap d USING (docno) WHERE t.rank <= {k}
 """
 
 
-def _sql_engine_prf_top10(fb_docs: int = 5, fb_terms: int = 8, alpha: float = 0.5, k: int = 10) -> str:
+def _sql_engine_prf_top10(
+    fb_docs: int = 5, fb_terms: int = 8, alpha: float = 0.5, k: int = 10,
+    method: str = "rm",
+) -> str:
     """DuckDB twin of expand_queries + bm25_topk(weighted=True):
     stage 1 = float32 BM25 top-fb_docs (same emulation as the bm25
     oracle); RM mining reproduces expander.rm_weights' docno-ordered
     double folds via list_reduce; mixing matches _mix's operation order;
     the weighted rerun casts each mixed weight to float32 exactly as the
-    weighted query table stores it."""
+    weighted query table stores it. method="lce" weights each feedback
+    doc's contribution by exp(stage-1 score) — the lce_weights twin."""
     from collections import Counter
 
     from ivory_spark.functions.tokenizer import tokenize_py
@@ -553,15 +571,15 @@ contrib1 AS (
 s1 AS (SELECT qid, docno,
        list_reduce(list(c ORDER BY termid), (a, b) -> (a + b)::FLOAT) AS score
        FROM contrib1 GROUP BY qid, docno),
-fb AS (SELECT qid, docno FROM (
-        SELECT qid, docno,
+fb AS (SELECT qid, docno, score FROM (
+        SELECT qid, docno, score,
                row_number() OVER (PARTITION BY qid ORDER BY score DESC, docno DESC) AS rnk
         FROM s1) WHERE rnk <= {fb_docs}),
-recs AS (SELECT fb.qid, etf.term, etf.docno, etf.tf, edl.dl
+recs AS (SELECT fb.qid, etf.term, etf.docno, etf.tf, edl.dl, fb.score
          FROM fb JOIN etf USING (docno) JOIN edl ON edl.docno = fb.docno
          JOIN edict ON edict.term = etf.term),
 rmw AS (SELECT qid, term,
-        list_reduce(list(tf::DOUBLE / dl::DOUBLE ORDER BY docno), (a, b) -> a + b) AS w
+        list_reduce(list({'exp(score::DOUBLE) * (tf::DOUBLE / dl::DOUBLE)' if method == 'lce' else 'tf::DOUBLE / dl::DOUBLE'} ORDER BY docno), (a, b) -> a + b) AS w
         FROM recs WHERE dl > 0 GROUP BY qid, term),
 kept AS (SELECT qid, term, w FROM (
           SELECT qid, term, w,
@@ -691,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_f2exp_top10": lambda s, d: _engine_scored(s, d, "f2exp"),
         "engine_sd_top10": _engine_sd_top10,
         "engine_prf_top10": _engine_prf_top10,
+        "engine_lce_top10": _engine_lce_top10,
         "multimodal_features": _multimodal_features,
     }
 
@@ -840,4 +859,5 @@ FROM b""",
         "engine_sd_top10": _sql_engine_sd_top10(),
         "ann_lsh_top5": _sql_ann_lsh_top5(),
         "engine_prf_top10": _sql_engine_prf_top10(),
+        "engine_lce_top10": _sql_engine_prf_top10(method="lce"),
     }

@@ -171,6 +171,44 @@ def main() -> None:
         fn()
         timings[name] = round(time.monotonic() - t0, 3)
 
+    # --- diagnostic datapoints (top-level keys, outside `queries` so the
+    # headline total stays comparable across rounds) -----------------------
+    # SD/FD MRF batch latency over a positional index (the vectorized
+    # score_docs_batch kernel), and galago_en NL-analysis throughput (the
+    # memoized-stemming path) over the sf documents table.
+    from ivory_spark.index.build import IndexConfig as _IC, build_index as _bi
+    from ivory_spark.query.mrf import MrfModel, mrf_topk
+
+    pos_docs = min(BENCH_DOCS, 10_000)
+    pos_corpus = ensure_bench_corpus(
+        os.path.join("/tmp", f"ivory_bench_corpus_{pos_docs}"), pos_docs
+    )
+    pos_root = os.path.join("/tmp", f"ivory_bench_posidx_{pos_docs}_{cpus}")
+    shutil.rmtree(pos_root, ignore_errors=True)
+    t0 = time.monotonic()
+    _bi(
+        spark, pos_corpus, pos_root,
+        _IC(positional=True, salt_threshold=pos_docs // 10, n_shards=cpus,
+            partitions=build_partitions),
+    )
+    pos_build_sec = round(time.monotonic() - t0, 3)
+    pos_index = open_index(spark, pos_root)
+    mrf_topk(spark, pos_index, QUERY_SET[:2], MrfModel(dependence="sd")).collect()
+    t0 = time.monotonic()
+    mrf_topk(spark, pos_index, QUERY_SET[:10], MrfModel(dependence="sd")).collect()
+    sd_sec = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    mrf_topk(spark, pos_index, QUERY_SET[:5], MrfModel(dependence="fd")).collect()
+    fd_sec = round(time.monotonic() - t0, 3)
+
+    from ivory_spark.functions.tokenizer import get_tokenizer
+
+    ndocs_nl = docs.count()
+    galago = get_tokenizer("galago_en")
+    t0 = time.monotonic()
+    galago.doc_terms(docs, docno="doc_id", content="text").count()
+    galago_sec = time.monotonic() - t0
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "index-build + BM25 top-10 + pipeline ops wall time",
@@ -196,6 +234,12 @@ def main() -> None:
         # BENCH.md) on fresh JVMs at two parallelism levels.
         "host_cpu_ceiling_speedup": round(host_speedup, 2),
         "build_partitions": build_partitions,
+        # diagnostics (outside `queries` to keep the headline comparable)
+        "positional_build_sec": pos_build_sec,
+        "positional_build_docs": pos_docs,
+        "mrf_sd_batch10_sec": sd_sec,
+        "mrf_fd_batch5_sec": fd_sec,
+        "galago_en_docs_per_sec": round(ndocs_nl / galago_sec, 1),
     }
     print(json.dumps(out))
 

@@ -106,7 +106,8 @@ def streaming_neardup_candidates(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     bands = band_rows(stream, id_col, text_col, n_hashes, band_size)
-    ttl_ms = state_ttl_minutes * 60_000 if state_ttl_minutes else None
+    # fractional minutes allowed (tests use seconds-scale TTLs)
+    ttl_ms = int(state_ttl_minutes * 60_000) if state_ttl_minutes else None
 
     def update(key, pdfs, state):
         if state.hasTimedOut:

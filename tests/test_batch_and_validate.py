@@ -359,3 +359,86 @@ print("RESULT_JSON:" + json.dumps(rows))
     assert all(r["first_seen_doc"] == 10 for r in flagged)
     # re-delivered doc 10 must not self-pair or re-emit
     assert all(r["doc_id"] != 10 for r in got)
+
+
+def test_streaming_neardup_ttl_retires_state(spark, tmp_path):
+    """state_ttl_minutes + a processing-time trigger (the production
+    long-running-stream configuration; the documented hang is specific to
+    ProcessingTimeTimeout + trigger(availableNow)): after the TTL expires
+    and an unrelated batch fires the timeout sweep, a later duplicate of
+    the pre-TTL doc must NOT pair against it — bucket state was retired
+    (near-dups across the TTL horizon are batch compaction's job).
+    Subprocess-isolated, skip-on-flake like the other stateful tests."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    script = r"""
+import json, os, sys, time
+sys.path.insert(0, %(repo)r)
+import pandas as pd
+from ivory_spark.session import get_spark
+from ivory_spark.streaming.ingest import CORPUS_SCHEMA
+from ivory_spark.streaming.neardup import streaming_neardup_candidates
+from pyspark.sql import types as T
+
+spark = get_spark("nd-ttl", cores=2, shuffle_partitions=2)
+dup = "alpha beta gamma delta epsilon zeta eta theta"
+other = "completely unrelated vocabulary tokens spread wide apart"
+schema = T.StructType(CORPUS_SCHEMA.fields + [T.StructField("doc_id", T.LongType())])
+d = %(dir)r
+
+def write(name, rows):
+    pd.DataFrame(
+        {"repo": ["r"] * len(rows), "path": [str(i) for i, _ in rows],
+         "commit": ["c"] * len(rows), "lang": ["x"] * len(rows),
+         "content": [t for _, t in rows],
+         "ingest_ts": pd.Series([pd.Timestamp("2026-01-01")] * len(rows)).astype("datetime64[us]"),
+         "doc_id": [i for i, _ in rows]}
+    ).to_parquet(os.path.join(d, name), index=False)
+
+write("b0.parquet", [(10, dup)])
+stream = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(d))
+# 0.05 min = 3 s TTL
+out = streaming_neardup_candidates(stream, state_ttl_minutes=0.05)
+q = (out.writeStream.outputMode("append").format("memory").queryName("ndttl")
+     .trigger(processingTime="500 milliseconds").start())
+
+def wait_rows(pred, deadline=60):
+    t0 = time.time()
+    while time.time() - t0 < deadline:
+        rows = [r.asDict() for r in spark.sql("select * from ndttl").collect()]
+        if pred(rows):
+            return rows
+        time.sleep(0.5)
+    return [r.asDict() for r in spark.sql("select * from ndttl").collect()]
+
+wait_rows(lambda rows: True, deadline=5)      # let batch 0 seed state
+time.sleep(5)                                  # > TTL horizon
+write("b1.parquet", [(20, other)])             # fires the timeout sweep
+time.sleep(4)
+write("b2.parquet", [(30, dup)])               # post-TTL duplicate of doc 10
+time.sleep(6)
+rows = wait_rows(lambda rows: any(r["doc_id"] == 30 for r in rows), deadline=10)
+q.stop()
+print("RESULT_JSON:" + json.dumps(rows))
+"""
+    stream_dir = str(tmp_path / "ndttl")
+    os.makedirs(stream_dir)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        proc = subprocess.run(
+            [_sys.executable, "-c", script % {"repo": repo_root, "dir": stream_dir}],
+            capture_output=True, text=True, timeout=300, check=False,
+        )
+    except subprocess.TimeoutExpired:
+        pytest.skip("TTL streaming drain exceeded 300s in subprocess (flake)")
+    tail = (proc.stdout + proc.stderr)[-800:]
+    result_lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT_JSON:")]
+    if proc.returncode != 0 or not result_lines:
+        pytest.skip(f"TTL streaming drain failed/flaked in subprocess: {tail}")
+    got = json.loads(result_lines[0][len("RESULT_JSON:"):])
+    # doc 30 arrived after doc 10's buckets were retired: no pair emitted
+    pairs_30 = [r for r in got if r["doc_id"] == 30 and r["first_seen_doc"] == 10]
+    assert pairs_30 == [], got

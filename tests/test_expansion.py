@@ -138,3 +138,22 @@ def test_tdf_range_clustered_by_docno(idx):
     ranges.sort()
     for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
         assert hi1 < lo2, ranges
+
+
+def test_lce_expansion_weights_identical(spark, idx, oi):
+    """LCE variant (exp(doc score)-weighted concept mining,
+    UnigramLatentConceptExpander.java:159-198): engine == oracle exactly,
+    and it genuinely reweights vs the RM expander."""
+    qs = QUERY_SET[:4]
+    got = expand_queries(spark, idx, qs, fb_docs=5, fb_terms=8, method="lce")
+    want = oracle_expand_queries(oi, qs, fb_docs=5, fb_terms=8, method="lce")
+    assert got == want
+    rm = expand_queries(spark, idx, qs, fb_docs=5, fb_terms=8)
+    assert any(g["terms"] != r["terms"] for g, r in zip(got, rm))
+
+
+def test_lce_expanded_retrieval_rank_identity(spark, idx, oi):
+    qs = QUERY_SET[:3]
+    wq = expand_queries(spark, idx, qs, fb_docs=5, fb_terms=8, method="lce")
+    golden = oracle_topk_weighted(oi, wq, k=K)
+    _assert_match(bm25_topk(spark, idx, wq, k=K, weighted=True), golden)
