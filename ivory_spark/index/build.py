@@ -272,100 +272,11 @@ def build_index(
     # ---- stage: postings (salted term-partitioned encode) ----------------
     if not stage_is_valid(index_root, "postings", fp, [postings_path]):
         with StageRun(index_root, "postings", fp) as run:
-            n_docs = props["n_docs"]
-            avgdl = props["avgdl"]
-            k1, b, idf_mode = cfg.k1, cfg.b, cfg.idf_mode
             joined = tdf.join(dictionary.select("term", "termid", "df", "cf"), "term").drop(
                 "term"
             )
-            # skew mitigation: terms over the df threshold (common keywords)
-            # split into one run per global docno shard; rare terms keep a
-            # single run (salt = -1). The shard grid is GLOBAL — all salted
-            # terms share the same docno boundaries — so the WAND kernel can
-            # co-locate every query term's postings for a docno range.
-            shard_expr = F.floor(
-                F.col("docno") * F.lit(cfg.n_shards) / F.lit(n_docs + 1)
-            ).cast("int")
-            joined = joined.withColumn(
-                "salt",
-                F.when(F.col("df") > cfg.salt_threshold, shard_expr).otherwise(F.lit(-1)),
-            )
-
-            def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
-                """Encode every complete (termid, salt) run in a sorted
-                slice — one output DataFrame for the whole slice (a
-                per-group pandas frame would dominate wall time)."""
-                t = pdf["termid"].to_numpy(np.int64)
-                s = pdf["salt"].to_numpy(np.int64)
-                docno = pdf["docno"].to_numpy(np.int64)
-                tf = pdf["tf"].to_numpy(np.int64)
-                dl = pdf["dl"].to_numpy(np.int64)
-                dfs = pdf["df"].to_numpy(np.int64)
-                cfs = pdf["cf"].to_numpy(np.int64)
-                chg = np.nonzero(np.concatenate(([True], (t[1:] != t[:-1]) | (s[1:] != s[:-1]))))[0]
-                ends = np.concatenate((chg[1:], [len(t)]))
-                idf_all = bm25_idf(n_docs, dfs, mode=idf_mode)
-                imp_all = idf_all * bm25_tf_part(tf, dl, avgdl, k1, b)
-                positional = "positions" in pdf.columns
-                if positional:
-                    pos_lists = pdf["positions"].to_numpy()
-                    tf_ends = np.cumsum(tf)
-                out = {k: [] for k in ("termid", "salt", "df", "cf", "n",
-                                        "first_docno", "last_docno", "max_impact", "blob")}
-                if positional:
-                    out["pos_blob"] = []
-                for a, z in zip(chg, ends):
-                    d = docno[a:z]
-                    imp = imp_all[a:z]
-                    out["termid"].append(t[a])
-                    out["salt"].append(s[a])
-                    out["df"].append(dfs[a])
-                    out["cf"].append(cfs[a])
-                    out["n"].append(z - a)
-                    out["first_docno"].append(d[0])
-                    out["last_docno"].append(d[-1])
-                    out["max_impact"].append(np.float32(imp.max()))
-                    out["blob"].append(
-                        codec.encode_run(d.astype(np.uint64), tf[a:z], dl[a:z], imp)
-                    )
-                    if positional:
-                        flat = (
-                            np.concatenate([np.asarray(p) for p in pos_lists[a:z]])
-                            if z > a
-                            else np.empty(0, dtype=np.int64)
-                        )
-                        out["pos_blob"].append(codec.encode_positions(flat, tf[a:z]))
-                return pd.DataFrame(out)
-
-            def encode_partition(batches):
-                # rows arrive sorted by (termid, salt, docno); a run can
-                # straddle Arrow batches, so carry the tail group forward
-                carry = None
-                for pdf in batches:
-                    if carry is not None and len(carry):
-                        pdf = pd.concat([carry, pdf], ignore_index=True)
-                    n = len(pdf)
-                    if n == 0:
-                        continue
-                    t = pdf["termid"].to_numpy()
-                    s = pdf["salt"].to_numpy()
-                    same_as_last = (t == t[-1]) & (s == s[-1])
-                    # first index of the trailing group
-                    tail_start = n - int(same_as_last[::-1].argmin()) if not same_as_last.all() else 0
-                    if same_as_last.all():
-                        carry = pdf
-                        continue
-                    carry = pdf.iloc[tail_start:]
-                    body = pdf.iloc[:tail_start]
-                    if len(body):
-                        yield encode_groups(body)
-                if carry is not None and len(carry):
-                    yield encode_groups(carry)
-
-            postings = (
-                joined.repartition(partitions, "termid", "salt")
-                .sortWithinPartitions("termid", "salt", "docno")
-                .mapInPandas(encode_partition, schema=_postings_schema(cfg.positional))
+            postings = encode_postings(
+                joined, cfg, props["n_docs"], props["avgdl"], partitions
             )
             # cluster by termid for parquet row-group pruning at query time
             (
@@ -378,3 +289,100 @@ def build_index(
             run.metrics["partitions"] = partitions
 
     return props
+
+
+def encode_postings(
+    joined: DataFrame, cfg: IndexConfig, n_docs: int, avgdl: float, partitions: int
+) -> DataFrame:
+    """(termid, docno, tf, dl, df, cf [, positions]) rows -> encoded
+    postings-run rows (shared by build_index and compact.append_delta).
+
+    Skew mitigation: terms over the df threshold (common keywords) split
+    into one run per global docno shard; rare terms keep a single run
+    (salt = -1). The shard grid is GLOBAL — all salted terms share the
+    same docno boundaries — so the WAND kernel can co-locate every query
+    term's postings for a docno range."""
+    k1, b, idf_mode = cfg.k1, cfg.b, cfg.idf_mode
+    shard_expr = F.floor(
+        F.col("docno") * F.lit(cfg.n_shards) / F.lit(n_docs + 1)
+    ).cast("int")
+    joined = joined.withColumn(
+        "salt",
+        F.when(F.col("df") > cfg.salt_threshold, shard_expr).otherwise(F.lit(-1)),
+    )
+
+    def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Encode every complete (termid, salt) run in a sorted
+        slice — one output DataFrame for the whole slice (a
+        per-group pandas frame would dominate wall time)."""
+        t = pdf["termid"].to_numpy(np.int64)
+        s = pdf["salt"].to_numpy(np.int64)
+        docno = pdf["docno"].to_numpy(np.int64)
+        tf = pdf["tf"].to_numpy(np.int64)
+        dl = pdf["dl"].to_numpy(np.int64)
+        dfs = pdf["df"].to_numpy(np.int64)
+        cfs = pdf["cf"].to_numpy(np.int64)
+        chg = np.nonzero(np.concatenate(([True], (t[1:] != t[:-1]) | (s[1:] != s[:-1]))))[0]
+        ends = np.concatenate((chg[1:], [len(t)]))
+        idf_all = bm25_idf(n_docs, dfs, mode=idf_mode)
+        imp_all = idf_all * bm25_tf_part(tf, dl, avgdl, k1, b)
+        positional = "positions" in pdf.columns
+        if positional:
+            pos_lists = pdf["positions"].to_numpy()
+        out = {k: [] for k in ("termid", "salt", "df", "cf", "n",
+                                "first_docno", "last_docno", "max_impact", "blob")}
+        if positional:
+            out["pos_blob"] = []
+        for a, z in zip(chg, ends):
+            d = docno[a:z]
+            imp = imp_all[a:z]
+            out["termid"].append(t[a])
+            out["salt"].append(s[a])
+            out["df"].append(dfs[a])
+            out["cf"].append(cfs[a])
+            out["n"].append(z - a)
+            out["first_docno"].append(d[0])
+            out["last_docno"].append(d[-1])
+            out["max_impact"].append(np.float32(imp.max()))
+            out["blob"].append(
+                codec.encode_run(d.astype(np.uint64), tf[a:z], dl[a:z], imp)
+            )
+            if positional:
+                flat = (
+                    np.concatenate([np.asarray(p) for p in pos_lists[a:z]])
+                    if z > a
+                    else np.empty(0, dtype=np.int64)
+                )
+                out["pos_blob"].append(codec.encode_positions(flat, tf[a:z]))
+        return pd.DataFrame(out)
+
+    def encode_partition(batches):
+        # rows arrive sorted by (termid, salt, docno); a run can
+        # straddle Arrow batches, so carry the tail group forward
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            n = len(pdf)
+            if n == 0:
+                continue
+            t = pdf["termid"].to_numpy()
+            s = pdf["salt"].to_numpy()
+            same_as_last = (t == t[-1]) & (s == s[-1])
+            # first index of the trailing group
+            tail_start = n - int(same_as_last[::-1].argmin()) if not same_as_last.all() else 0
+            if same_as_last.all():
+                carry = pdf
+                continue
+            carry = pdf.iloc[tail_start:]
+            body = pdf.iloc[:tail_start]
+            if len(body):
+                yield encode_groups(body)
+        if carry is not None and len(carry):
+            yield encode_groups(carry)
+
+    return (
+        joined.repartition(partitions, "termid", "salt")
+        .sortWithinPartitions("termid", "salt", "docno")
+        .mapInPandas(encode_partition, schema=_postings_schema(cfg.positional))
+    )

@@ -1,13 +1,16 @@
-"""Block d-gap + variable-byte postings codec (NumPy-vectorized).
+"""Block d-gap postings codec (NumPy-vectorized): PForDelta-packed
+docno gaps + variable-byte tf/doclen sections.
 
 Plays the role of Ivory's compressed postings lists
 (ivory/core/data/index/PostingsListDocSortedPositional.java:92-181 —
 Golomb/gamma bit coding) and of BloomIR's block-compressed postings
 (ivory/bloomir/data/CompressedPostings.java:20-174 — 128-entry PForDelta
-blocks with block-aligned random access). We deliberately use byte-aligned
-variable-byte instead of bit-level Golomb/gamma: varint is
-vectorization-friendly (the reference's bit streams are hostile to SIMD /
-NumPy), and retrieval scores do not depend on the storage codec.
+blocks with block-aligned random access). v3 stores each block's d-gaps
+in actual PForDelta (bit width chosen per block, overflowers patched via
+an exception list — see pfor_encode), matching the reference scheme;
+tf/doclen sections stay byte-aligned varint (their value range makes
+bit-packing a wash, and varint is vectorization-friendly). Retrieval
+scores do not depend on the storage codec.
 
 Blob layout (little-endian, FORMAT_VERSION 2 — mirrors _HDR/_DIR below):
   header : uint32 n_postings, uint32 n_blocks, uint32 block_size
@@ -20,9 +23,9 @@ Blob layout (little-endian, FORMAT_VERSION 2 — mirrors _HDR/_DIR below):
            `max_impact` = max per-posting BM25 impact in the block — the
            block-max WAND bound (upgrade of Ivory's term-level MaxScore,
            ivory/smrf/retrieval/MRFDocumentRanker.java:99-155)
-  payload: per block: varint d-gaps (first gap relative to the previous
-           block's last docno; absolute for the very first block),
-           then varint tfs, then varint doclens.
+  payload: per block: PForDelta d-gap section (first gap relative to the
+           previous block's last docno; absolute for the very first
+           block), then varint tfs, then varint doclens.
 
 Doclens are stored inline so scoring needs no side lookup — the Spark-scale
 replacement for Ivory's in-RAM DocLengthTable
@@ -41,7 +44,7 @@ import numpy as np
 
 BLOCK = 128
 MIN_BLOCK = 8
-FORMAT_VERSION = 2  # v2: header block_size + directory first_docno
+FORMAT_VERSION = 3  # v3: PForDelta d-gap sections (v2: block_size + first_docno)
 
 _HDR = np.dtype([("n_postings", "<u4"), ("n_blocks", "<u4"), ("block_size", "<u4")])
 
@@ -102,6 +105,99 @@ def varint_decode(buf: np.ndarray) -> np.ndarray:
     return np.bitwise_or.reduceat(shifted, starts)
 
 
+# ---------------------------------------------------------------------------
+# PForDelta block coding (d-gap sections). The reference stores postings in
+# 128-entry PForDelta blocks (ivory/bloomir/data/CompressedPostings.java:
+# 20-174, core/data/index/PostingsListDocSortedPositionalPForDelta.java:
+# 40-120); this is the same patched-frame-of-reference scheme, numpy-
+# vectorized: per block choose a bit width b, bit-pack every value's low b
+# bits little-endian, and patch the few values that overflow b bits through
+# an exception list (u8 in-block position + varint high bits).
+#
+# Section layout (self-delimiting given the block's value count n):
+#   u8 b | u8 n_exc | ceil(n*b/8) packed bytes | n_exc u8 positions
+#   | n_exc varint high-bit values
+# ---------------------------------------------------------------------------
+
+
+def _bitlen(v: np.ndarray) -> np.ndarray:
+    """Per-element bit length of uint64 values (0 -> 0)."""
+    bl = np.zeros(v.shape, dtype=np.int64)
+    x = v.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = x >= (np.uint64(1) << np.uint64(shift))
+        bl[big] += shift
+        x[big] >>= np.uint64(shift)
+    bl[v > 0] += 1
+    return bl
+
+
+def pfor_encode(values: np.ndarray) -> bytes:
+    """Encode <=256 non-negative uint64 values as one PForDelta section,
+    choosing the bit width that minimizes the section size over the
+    distinct bit lengths present (the NewPFD-style exception trade-off)."""
+    v = np.asarray(values, dtype=np.uint64)
+    n = v.size
+    if n == 0:
+        return bytes([0, 0])
+    if n > 256:
+        raise ValueError("pfor section limited to 256 values (one block)")
+    bl = _bitlen(v)
+    best = None
+    for b in sorted(set(bl.tolist()) | {int(bl.max())}):
+        exc = bl > b
+        n_exc = int(exc.sum())
+        if n_exc > 255:
+            continue
+        highs = v[exc] >> np.uint64(b)
+        size = 2 + (n * b + 7) // 8 + n_exc + varint_encode(highs).nbytes
+        if best is None or size < best[0]:
+            best = (size, b, exc)
+    _, b, exc = best
+    if b:
+        mask = (np.uint64(1) << np.uint64(b)) - np.uint64(1) if b < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
+        low = v & mask
+        bits = (
+            (low[:, None] >> np.arange(b, dtype=np.uint64)[None, :]) & np.uint64(1)
+        ).astype(np.uint8)
+        packed = np.packbits(bits.ravel(), bitorder="little").tobytes()
+    else:
+        packed = b""
+    pos = np.nonzero(exc)[0].astype(np.uint8).tobytes()
+    highs = varint_encode(v[exc] >> np.uint64(b)).tobytes()
+    return bytes([b, int(exc.sum())]) + packed + pos + highs
+
+
+def pfor_decode(buf: np.ndarray, n: int) -> tuple[np.ndarray, int]:
+    """Decode n values from a PForDelta section at the start of `buf`
+    (uint8 array). Returns (values uint64, bytes consumed)."""
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), 2
+    b, n_exc = int(buf[0]), int(buf[1])
+    nbytes = (n * b + 7) // 8
+    off = 2
+    if b:
+        bits = np.unpackbits(
+            np.ascontiguousarray(buf[off : off + nbytes]), count=n * b, bitorder="little"
+        ).reshape(n, b)
+        weights = np.uint64(1) << np.arange(b, dtype=np.uint64)
+        v = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
+    else:
+        v = np.zeros(n, dtype=np.uint64)
+    off += nbytes
+    if n_exc:
+        pos = buf[off : off + n_exc].astype(np.int64)
+        off += n_exc
+        rest = buf[off:]
+        # the highs varint stream ends at the n_exc-th terminator byte
+        last = np.nonzero((rest & 0x80) == 0)[0]
+        hi_end = int(last[n_exc - 1]) + 1
+        highs = varint_decode(rest[:hi_end])
+        v[pos] |= highs << np.uint64(b)
+        off += hi_end
+    return v, off
+
+
 def encode_run(
     docnos: np.ndarray, tfs: np.ndarray, dls: np.ndarray, impacts: np.ndarray
 ) -> bytes:
@@ -127,17 +223,19 @@ def encode_run(
     dls64 = np.asarray(dls, dtype=np.uint64)
 
     directory = np.zeros(n_blocks, dtype=_DIR)
-    payloads: list[np.ndarray] = []
+    payloads: list[bytes] = []
     off = 0
     for bi in range(n_blocks):
         lo, hi = bi * bs, min(n, (bi + 1) * bs)
-        payload = np.concatenate(
-            [varint_encode(gaps[lo:hi]), varint_encode(tfs64[lo:hi]), varint_encode(dls64[lo:hi])]
+        payload = (
+            pfor_encode(gaps[lo:hi])
+            + varint_encode(tfs64[lo:hi]).tobytes()
+            + varint_encode(dls64[lo:hi]).tobytes()
         )
-        off += payload.nbytes
+        off += len(payload)
         directory[bi] = (docnos[lo], docnos[hi - 1], imp[lo:hi].max(), off)
         payloads.append(payload)
-    return hdr.tobytes() + directory.tobytes() + b"".join(p.tobytes() for p in payloads)
+    return hdr.tobytes() + directory.tobytes() + b"".join(payloads)
 
 
 def read_header(blob: bytes) -> tuple[int, int, int]:
@@ -157,31 +255,39 @@ def _payload(blob: bytes) -> np.ndarray:
     return np.frombuffer(blob, dtype=np.uint8, offset=off)
 
 
+def _decode_block_payload(
+    section: np.ndarray, sz: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One block's payload -> (gaps uint64, tfs, dls)."""
+    gaps, consumed = pfor_decode(section, sz)
+    vals = varint_decode(section[consumed:])
+    return gaps, vals[:sz], vals[sz : 2 * sz]
+
+
 def decode_run(blob: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Full decode -> (docnos uint64, tfs int32, dls int32)."""
     n, n_blocks, bs = read_header(blob)
     if n == 0:
         z = np.empty(0, dtype=np.uint64)
         return z, z.astype(np.int32), z.astype(np.int32)
-    vals = varint_decode(_payload(blob))
-    # per-block sections: gaps, tfs, dls — reslice by block sizes
-    sizes = np.full(n_blocks, bs, dtype=np.int64)
-    sizes[-1] = n - bs * (n_blocks - 1)
+    directory = read_directory(blob)
+    payload = _payload(blob)
     docnos = np.empty(n, dtype=np.uint64)
     tfs = np.empty(n, dtype=np.int64)
     dls = np.empty(n, dtype=np.int64)
-    vpos = 0
     base = np.uint64(0)
+    start = 0
     out = 0
     for bi in range(n_blocks):
-        sz = int(sizes[bi])
-        gaps = vals[vpos : vpos + sz]
+        sz = bs if bi < n_blocks - 1 else n - bs * (n_blocks - 1)
+        end = int(directory[bi]["end"])
+        gaps, tf_b, dl_b = _decode_block_payload(payload[start:end], sz)
         d = np.cumsum(gaps, dtype=np.uint64) + base
         docnos[out : out + sz] = d
         base = d[-1]
-        tfs[out : out + sz] = vals[vpos + sz : vpos + 2 * sz]
-        dls[out : out + sz] = vals[vpos + 2 * sz : vpos + 3 * sz]
-        vpos += 3 * sz
+        tfs[out : out + sz] = tf_b
+        dls[out : out + sz] = dl_b
+        start = end
         out += sz
     return docnos, tfs.astype(np.int32), dls.astype(np.int32)
 
@@ -197,10 +303,10 @@ def decode_block(blob: bytes, bi: int) -> tuple[np.ndarray, np.ndarray, np.ndarr
     start = int(directory[bi - 1]["end"]) if bi > 0 else 0
     end = int(directory[bi]["end"])
     sz = bs if bi < n_blocks - 1 else n - bs * (n_blocks - 1)
-    vals = varint_decode(payload[start:end])
+    gaps, tf_b, dl_b = _decode_block_payload(payload[start:end], sz)
     base = directory[bi - 1]["last_docno"] if bi > 0 else np.uint64(0)
-    docnos = np.cumsum(vals[:sz], dtype=np.uint64) + base
-    return docnos, vals[sz : 2 * sz].astype(np.int32), vals[2 * sz : 3 * sz].astype(np.int32)
+    docnos = np.cumsum(gaps, dtype=np.uint64) + base
+    return docnos, tf_b.astype(np.int32), dl_b.astype(np.int32)
 
 
 def encode_positions(flat_positions: np.ndarray, tfs: np.ndarray) -> bytes:

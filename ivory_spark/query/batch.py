@@ -207,7 +207,7 @@ def run_batch(
             for key, prop in (("k1", "k1"), ("b", "b"), ("idf", "idf_mode"))
             if key in model.params
         )
-        if use_wand and not overridden:
+        if use_wand and not overridden and not props.get("bounds_stale"):
             from ivory_spark.query.wand import bm25_topk_wand
 
             return bm25_topk_wand(spark, index, queries, k=model.k)

@@ -39,6 +39,12 @@ class LocalSearcher:
 
         with open(os.path.join(index_root, "properties.json")) as f:
             self.props = json.load(f)
+        if self.props.get("bounds_stale"):
+            raise ValueError(
+                "index has stale WAND bounds after append_delta; run "
+                "compact.refresh_bounds before serving (the WAND kernel "
+                "prunes on stored block-max bounds)"
+            )
         self._tokenize = get_tokenizer(
             self.props.get("tokenizer", "code_v1")
         ).tokenize_py

@@ -238,6 +238,16 @@ def bm25_topk_wand(
     with_docid: bool = True,
 ) -> DataFrame:
     props = index.properties
+    if props.get("bounds_stale"):
+        # appended-to index: stored block-max bounds were computed under
+        # smaller n_docs/avgdl and may UNDERSTATE true impacts — pruning
+        # on them can drop true top-k docs. compact.refresh_bounds
+        # re-derives them; until then callers must use the exact path
+        # (query/batch.run_batch routes automatically).
+        raise ValueError(
+            "index has stale WAND bounds after append_delta; "
+            "run compact.refresh_bounds or use the exact path"
+        )
     n_docs, avgdl = props["n_docs"], props["avgdl"]
     k1, b, idf_mode = props["k1"], props["b"], props["idf_mode"]
     n_shards = props["n_shards"]

@@ -116,3 +116,38 @@ def test_merge_salted_runs_byte_identical():
         for a, b in splits
     ]
     assert codec.merge_runs(runs, impacts_fn) == whole
+
+
+def test_pfor_roundtrip_property():
+    """PForDelta section: round-trip + exact consumed-bytes accounting
+    across value ranges (zipf gaps + 2^40..2^50 outlier patches), with
+    trailing bytes present to prove self-delimiting decode."""
+    import numpy as np
+
+    from ivory_spark.index.codec import pfor_decode, pfor_encode
+
+    rng = np.random.RandomState(5)
+    for trial in range(200):
+        n = rng.randint(0, 129)
+        vals = rng.zipf(1.3, size=n).astype(np.uint64)
+        if n and trial % 7 == 0:
+            vals[rng.randint(0, n, size=max(1, n // 20))] = rng.randint(
+                1 << 40, 1 << 50
+            )
+        enc = pfor_encode(vals)
+        buf = np.frombuffer(enc + b"\x7f\x03trailing", dtype=np.uint8)
+        dec, consumed = pfor_decode(buf, n)
+        assert consumed == len(enc), trial
+        assert np.array_equal(dec, vals), trial
+
+
+def test_pfor_beats_varint_on_small_gaps():
+    """Dense postings (tiny d-gaps) must pack below 1 byte/gap — the
+    point of bit-packing over byte-aligned varint."""
+    import numpy as np
+
+    from ivory_spark.index.codec import pfor_encode, varint_encode
+
+    gaps = np.ones(128, dtype=np.uint64) * 3  # 2 bits each
+    assert len(pfor_encode(gaps)) < varint_encode(gaps).nbytes
+    assert len(pfor_encode(gaps)) <= 2 + 32  # 2-bit packing + header

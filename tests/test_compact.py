@@ -1,0 +1,142 @@
+"""Incremental delta append + bounds refresh (index/compact.py): an
+index grown by append_delta must hold the same logical content as a full
+rebuild over base+delta (stats, doclens, per-term postings), exact BM25
+must agree with the full rebuild, WAND must refuse stale bounds until
+refresh_bounds, and then be bit-identical to the exact path."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ivory_spark.corpus import QUERY_SET, generate_corpus
+from ivory_spark.index import codec
+from ivory_spark.index.build import IndexConfig, build_index
+from ivory_spark.index.compact import append_delta, refresh_bounds
+from ivory_spark.index.reader import open_index
+from ivory_spark.query.exact import bm25_topk
+from ivory_spark.query.wand import bm25_topk_wand
+
+N_BASE, N_DELTA = 120, 80
+
+
+@pytest.fixture(scope="module")
+def roots(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("compact")
+    full = generate_corpus(N_BASE + N_DELTA, seed=29)
+    base_pdf, delta_pdf = full.iloc[:N_BASE], full.iloc[N_DELTA:]  # overlap
+    # the overlap region [N_DELTA, N_BASE) duplicates base content —
+    # append must drop those rows via the sha256 anti-join
+    paths = {}
+    for name, pdf in (("base", base_pdf), ("delta", delta_pdf), ("full", full)):
+        p = str(d / f"{name}.parquet")
+        pdf.drop(columns=["sha256"], errors="ignore").to_parquet(p, index=False)
+        paths[name] = p
+    appended_root = str(d / "appended")
+    rebuilt_root = str(d / "rebuilt")
+    cfg = IndexConfig(salt_threshold=40, n_shards=5)
+    build_index(spark, paths["base"], appended_root, cfg)
+    props = append_delta(spark, appended_root, paths["delta"])
+    build_index(spark, paths["full"], rebuilt_root, cfg)
+    return appended_root, rebuilt_root, props
+
+
+def test_append_stats_match_full_rebuild(spark, roots):
+    appended_root, rebuilt_root, props = roots
+    a, r = open_index(spark, appended_root), open_index(spark, rebuilt_root)
+    assert props["bounds_stale"] is True
+    assert a.properties["n_docs"] == r.properties["n_docs"]
+    assert a.properties["collection_length"] == r.properties["collection_length"]
+    assert a.properties["n_terms"] == r.properties["n_terms"]
+    # per-term global stats identical (termids may differ by design)
+    sa = {x["term"]: (x["df"], x["cf"]) for x in a.dictionary.collect()}
+    sr = {x["term"]: (x["df"], x["cf"]) for x in r.dictionary.collect()}
+    assert sa == sr
+    # doclen multiset identical
+    da = sorted(x["doclen"] for x in spark.read.parquet(
+        os.path.join(appended_root, "doclens")).collect())
+    dr = sorted(x["doclen"] for x in spark.read.parquet(
+        os.path.join(rebuilt_root, "doclens")).collect())
+    assert da == dr
+
+
+def test_append_postings_content_match(spark, roots):
+    """Per-term decoded postings (as (tf, dl) multisets) equal the full
+    rebuild's — docnos differ (append freezes base docnos; the rebuild
+    renumbers the whole ordering) but content must not."""
+    appended_root, rebuilt_root, _ = roots
+    for root_a, root_b in ((appended_root, rebuilt_root),):
+        a, r = open_index(spark, root_a), open_index(spark, root_b)
+        ta = {x["term"]: x["termid"] for x in a.dictionary.collect()}
+        tr = {x["term"]: x["termid"] for x in r.dictionary.collect()}
+        pa = spark.read.parquet(os.path.join(root_a, "postings")).collect()
+        pb = spark.read.parquet(os.path.join(root_b, "postings")).collect()
+
+        def content(rows):
+            by_tid = {}
+            for x in rows:
+                d, tf, dl = codec.decode_run(bytes(x["blob"]))
+                by_tid.setdefault(x["termid"], []).extend(zip(tf.tolist(), dl.tolist()))
+            return by_tid
+        ca, cb = content(pa), content(pb)
+        for term, tid in ta.items():
+            assert sorted(ca.get(tid, [])) == sorted(cb.get(tr[term], [])), term
+
+
+def test_append_exact_bm25_matches_rebuild(spark, roots):
+    """Exact-path BM25 scores on the appended index equal the full
+    rebuild's (same docs by identity, scores allclose — the float32 fold
+    order differs because termid rankings differ by design)."""
+    appended_root, rebuilt_root, _ = roots
+    a, r = open_index(spark, appended_root), open_index(spark, rebuilt_root)
+    qs = QUERY_SET[:6]
+    ra = bm25_topk(spark, a, qs, k=10)
+    rr = bm25_topk(spark, r, qs, k=10)
+    ga = {(x["qid"], x["docid"]): x["score"] for x in ra.collect()}
+    gr = {(x["qid"], x["docid"]): x["score"] for x in rr.collect()}
+    # per-qid score multisets equal (ties at the k-cutoff may admit a
+    # different equal-scored doc: the docno tie-break keys differ between
+    # the two indexes by design)
+    by_qid_a: dict = {}
+    by_qid_r: dict = {}
+    for (qid, _), s in ga.items():
+        by_qid_a.setdefault(qid, []).append(round(float(s), 4))
+    for (qid, _), s in gr.items():
+        by_qid_r.setdefault(qid, []).append(round(float(s), 4))
+    for qid in by_qid_a:
+        assert sorted(by_qid_a[qid]) == sorted(by_qid_r[qid]), qid
+    # and every doc retrieved by both carries (almost) the same score
+    shared = set(ga) & set(gr)
+    assert len(shared) >= len(ga) - len(by_qid_a)  # at most one boundary swap per qid
+    for key in shared:
+        assert np.isclose(ga[key], gr[key], rtol=1e-5), key
+
+
+def test_wand_refuses_stale_bounds_then_matches_after_refresh(spark, roots):
+    appended_root, _, _ = roots
+    a = open_index(spark, appended_root)
+    with pytest.raises(ValueError, match="stale"):
+        bm25_topk_wand(spark, a, QUERY_SET[:1], k=5)
+    props = refresh_bounds(spark, appended_root)
+    assert props["bounds_stale"] is False
+    a2 = open_index(spark, appended_root)
+    qs = QUERY_SET[:6]
+    exact = bm25_topk(spark, a2, qs, k=10).collect()
+    wand = bm25_topk_wand(spark, a2, qs, k=10).collect()
+    ea = [(x["qid"], x["docno"], np.float32(x["score"]).view(np.uint32).item()) for x in exact]
+    wa = [(x["qid"], x["docno"], np.float32(x["score"]).view(np.uint32).item()) for x in wand]
+    assert ea == wa  # bit-identical after bounds refresh
+
+
+def test_append_drops_cross_base_duplicates(spark, roots):
+    appended_root, rebuilt_root, props = roots
+    # the overlap rows duplicated base content: appended n_docs equals the
+    # rebuild's (which deduped them the same way), and only one delta
+    # batch was recorded
+    assert len(props["appended_deltas"]) == 1
+    n_delta_rows = N_BASE + N_DELTA - N_DELTA  # delta slice = rows 80..199
+    n_appended = props["appended_deltas"][0]["n_docs"]
+    # overlap rows (N_BASE - N_DELTA of them duplicate base content) were
+    # dropped by the sha256 anti-join
+    assert 0 < n_appended <= n_delta_rows - (N_BASE - N_DELTA)
