@@ -169,7 +169,10 @@ def _source_fingerprint(sf_dir: str) -> str:
     return hashlib.md5(";".join(parts).encode()).hexdigest()[:12]
 
 
-def _engine_index(spark: SparkSession, sf_dir: str, positional: bool = False) -> "object":
+def _engine_index(
+    spark: SparkSession, sf_dir: str, positional: bool = False,
+    tokenizer: str = "code_v1",
+) -> "object":
     """Build (or resume) the engine index over documents-as-corpus in a
     temp workdir keyed by sf_dir + source content fingerprint."""
     from ivory_spark.index.build import IndexConfig, build_index
@@ -180,9 +183,26 @@ def _engine_index(spark: SparkSession, sf_dir: str, positional: bool = False) ->
     corpus_path = os.path.join(work, "corpus.parquet")
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
         documents_as_corpus(spark, sf_dir).write.mode("overwrite").parquet(corpus_path)
-    root = os.path.join(work, "index_pos" if positional else "index")
-    build_index(spark, corpus_path, root, IndexConfig(positional=positional))
+    name = "index_pos" if positional else "index"
+    if tokenizer != "code_v1":
+        name += "_" + tokenizer
+    root = os.path.join(work, name)
+    build_index(
+        spark, corpus_path, root, IndexConfig(positional=positional, tokenizer=tokenizer)
+    )
     return open_index(spark, root)
+
+
+def _engine_nl_bm25_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end under the nl_nostem analysis chain (stoplisted NL
+    tokenization, no stemming): the one NL chain whose every step is
+    SQL-expressible, so the DuckDB oracle hash-verifies a full
+    non-code-tokenizer build + query — the stemmed chains (galago_en/de,
+    lucene_cs/ar) are pytest-verified instead (no SQL stemmer)."""
+    from ivory_spark.query.wand import bm25_topk_wand
+
+    index = _engine_index(spark, sf_dir, tokenizer="nl_nostem")
+    return _round4(bm25_topk_wand(spark, index, IR.GATE_QUERIES, k=10))
 
 
 def _round4(df: DataFrame) -> DataFrame:
@@ -282,7 +302,26 @@ def _engine_lce_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # engine corpus + index CTEs (mirror sources/testdata.documents_as_corpus,
 # index/build.build_docmap + tdf + dictionary; tokenizer = code_v1 regex)
-_ENGINE_CTES = """
+def _engine_ctes(tokenizer: str = "code_v1") -> str:
+    """The engine build emulated in SQL, parameterized by the (SQL-
+    expressible) analysis chain: code_v1 or nl_nostem (stoplist, no
+    stem). Stemmed chains have no SQL twin and stay pytest-verified."""
+    if tokenizer == "code_v1":
+        tok = (
+            "list_filter(regexp_extract_all(lower(content), "
+            "'[a-z_][a-z0-9_]*|[0-9]+'), t -> length(t) <= 126)"
+        )
+    elif tokenizer == "nl_nostem":
+        from ivory_spark.functions.stopwords import STOPWORDS_EN
+
+        stop = ", ".join(f"'{w}'" for w in sorted(STOPWORDS_EN))
+        tok = (
+            "list_filter(regexp_extract_all(lower(content), '[a-z0-9]+'), "
+            f"t -> length(t) <= 126 AND NOT list_contains([{stop}], t))"
+        )
+    else:
+        raise ValueError(f"no SQL twin for tokenizer {tokenizer!r}")
+    return f"""
 ecorpus AS (SELECT source AS repo, 'doc/' || doc_id::VARCHAR AS path,
             substr(sha256(text), 1, 40) AS commit, text AS content FROM documents),
 eded AS (SELECT repo, path, commit, content FROM (
@@ -290,9 +329,7 @@ eded AS (SELECT repo, path, commit, content FROM (
                      ORDER BY repo, path, commit) AS rn FROM ecorpus) WHERE rn = 1),
 edocmap AS (SELECT repo, path, commit, content,
             row_number() OVER (ORDER BY repo, path, commit)::BIGINT AS docno FROM eded),
-etoks AS (SELECT docno, unnest(list_filter(
-            regexp_extract_all(lower(content), '[a-z_][a-z0-9_]*|[0-9]+'),
-            t -> length(t) <= 126)) AS term FROM edocmap),
+etoks AS (SELECT docno, unnest({tok}) AS term FROM edocmap),
 etf AS (SELECT docno, term, count(*)::BIGINT AS tf FROM etoks
         GROUP BY docno, term HAVING count(*) <= 32767),
 edl AS (SELECT docno, sum(tf)::BIGINT AS dl FROM etf GROUP BY docno),
@@ -303,19 +340,23 @@ egl AS (SELECT (SELECT count(*) FROM edocmap)::BIGINT AS n,
                (SELECT coalesce(sum(dl), 0) FROM edl)::BIGINT AS clen)
 """
 
+
+_ENGINE_CTES = _engine_ctes()
+
 _ENGINE_DOCID = "d.repo || '/' || d.path || '@' || d.commit"
 
 
-def _sql_engine_query_values(queries) -> str:
+def _sql_engine_query_values(queries, tokenizer: str = "code_v1") -> str:
     """(qid, term, qtf) rows tokenized with the ENGINE tokenizer
-    (functions/tokenizer.tokenize_py) — duplicate tokens fold to qtf."""
+    (same registry chain as the index) — duplicate tokens fold to qtf."""
     from collections import Counter
 
-    from ivory_spark.functions.tokenizer import tokenize_py
+    from ivory_spark.functions.tokenizer import get_tokenizer
 
+    tokenize = get_tokenizer(tokenizer).tokenize_py
     rows = []
     for q in queries:
-        for term, qtf in sorted(Counter(tokenize_py(q["query"])).items()):
+        for term, qtf in sorted(Counter(tokenize(q["query"])).items()):
             rows.append(f"('{q['qid']}', '{term}', {qtf})")
     return "eq(qid, term, qtf) AS (VALUES " + ", ".join(rows) + ")"
 
@@ -334,9 +375,9 @@ _F32_BM25_CONTRIB = f"""
 """
 
 
-def _sql_engine_bm25_top10(k: int = 10) -> str:
+def _sql_engine_bm25_top10(k: int = 10, tokenizer: str = "code_v1") -> str:
     return f"""
-WITH {_ENGINE_CTES}, {_sql_engine_query_values(IR.GATE_QUERIES)},
+WITH {_engine_ctes(tokenizer)}, {_sql_engine_query_values(IR.GATE_QUERIES, tokenizer)},
 contrib AS (
   SELECT eq.qid, etf.docno, edict.termid, {_F32_BM25_CONTRIB} AS c
   FROM eq JOIN edict USING (term) JOIN etf USING (term)
@@ -703,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": lambda s, d: TS.fingerprint(_docs(s, d)),
         # --- engine-native (float32 kernels; DuckDB float32-emulating oracles)
         "engine_bm25_top10": _engine_bm25_top10,
+        "engine_nl_bm25_top10": _engine_nl_bm25_top10,
         "engine_dirichlet_top10": lambda s, d: _engine_scored(s, d, "dirichlet"),
         "engine_jm_top10": lambda s, d: _engine_scored(s, d, "jm"),
         "engine_tfidf_top10": lambda s, d: _engine_scored(s, d, "tfidf"),
@@ -852,6 +894,7 @@ FROM b""",
         "FROM documents",
         "multimodal_features": _sql_multimodal_features(),
         "engine_bm25_top10": _sql_engine_bm25_top10(),
+        "engine_nl_bm25_top10": _sql_engine_bm25_top10(tokenizer="nl_nostem"),
         "engine_dirichlet_top10": _sql_engine_scored_top10("dirichlet"),
         "engine_jm_top10": _sql_engine_scored_top10("jm"),
         "engine_tfidf_top10": _sql_engine_scored_top10("tfidf"),

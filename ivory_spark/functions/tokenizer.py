@@ -71,31 +71,32 @@ def tokens_expr(content: Column) -> Column:
     return F.filter(toks, lambda t: F.length(t) <= MAX_TOKEN_LEN)
 
 
-def doc_terms(df: DataFrame, docno: str = "docno", content: str = "content") -> DataFrame:
-    """(docno, term, tf) with Ivory's tf-overflow drop — fully JVM-side.
+def _jvm_doc_terms(expr_fn, positional: bool):
+    """(docno, term, tf[, positions]) builder for fully-JVM token
+    expressions — the map phase of BuildTermDocVectors re-expressed as
+    (pos)explode + groupBy; Catalyst supplies partial aggregation."""
 
-    This is the map phase of BuildTermDocVectors re-expressed as
-    explode + groupBy; Catalyst supplies partial aggregation.
-    """
-    toks = df.select(F.col(docno), F.explode(tokens_expr(F.col(content))).alias("term"))
-    tf = toks.groupBy(docno, "term").agg(F.count(F.lit(1)).cast("int").alias("tf"))
-    return tf.filter(F.col("tf") <= MAX_TF)
+    def build(df: DataFrame, docno: str = "docno", content: str = "content") -> DataFrame:
+        if not positional:
+            toks = df.select(F.col(docno), F.explode(expr_fn(F.col(content))).alias("term"))
+            tf = toks.groupBy(docno, "term").agg(F.count(F.lit(1)).cast("int").alias("tf"))
+            return tf.filter(F.col("tf") <= MAX_TF)
+        toks = df.select(
+            F.col(docno), F.posexplode(expr_fn(F.col(content))).alias("pos0", "term")
+        )
+        grouped = toks.groupBy(docno, "term").agg(
+            F.count(F.lit(1)).cast("int").alias("tf"),
+            F.sort_array(F.collect_list((F.col("pos0") + 1).cast("int"))).alias("positions"),
+        )
+        return grouped.filter(F.col("tf") <= MAX_TF)
+
+    return build
 
 
-def doc_terms_positional(
-    df: DataFrame, docno: str = "docno", content: str = "content"
-) -> DataFrame:
-    """(docno, term, tf, positions) with 1-based positions over the token
-    stream (DocumentProcessingUtils.java:84-92) — fully JVM-side via
-    posexplode + sort_array(collect_list)."""
-    toks = df.select(
-        F.col(docno), F.posexplode(tokens_expr(F.col(content))).alias("pos0", "term")
-    )
-    grouped = toks.groupBy(docno, "term").agg(
-        F.count(F.lit(1)).cast("int").alias("tf"),
-        F.sort_array(F.collect_list((F.col("pos0") + 1).cast("int"))).alias("positions"),
-    )
-    return grouped.filter(F.col("tf") <= MAX_TF)
+# public single-tokenizer forms (code_v1); positional = 1-based positions
+# over the token stream (DocumentProcessingUtils.java:84-92)
+doc_terms = _jvm_doc_terms(tokens_expr, positional=False)
+doc_terms_positional = _jvm_doc_terms(tokens_expr, positional=True)
 
 
 _TDV_SCHEMA = T.ArrayType(
@@ -195,6 +196,39 @@ def galago_de_tokenize_py(content: str) -> list[str]:
         _stem_de(t)
         for t in _GRX_DE.findall(content.lower())
         if len(t) <= MAX_TOKEN_LEN and t not in STOPWORDS_DE
+    ]
+
+
+# ---------------------------------------------------------------------------
+# nl_nostem: stoplisted natural-language tokenization WITHOUT stemming —
+# the stem-free slice of the GalagoTokenizer chain. Fully JVM-side
+# (regexp + filter + isin; no Python UDF in the build), and every step is
+# ANSI-SQL-expressible, so this chain gets a hash-verified DuckDB gate
+# (engine_nl_bm25_top10) where the stemmed chains can only be pytest-
+# verified. Use it when index-build throughput matters more than
+# inflection folding.
+# ---------------------------------------------------------------------------
+
+
+def nl_tokens_expr(content: Column) -> Column:
+    from ivory_spark.functions.stopwords import STOPWORDS_EN
+
+    sw = sorted(STOPWORDS_EN)
+    toks = F.regexp_extract_all(F.lower(content), F.lit(GALAGO_TOKEN_PATTERN), 0)
+    return F.filter(
+        toks, lambda t: (F.length(t) <= MAX_TOKEN_LEN) & ~t.isin(*sw)
+    )
+
+
+def nl_nostem_tokenize_py(content: str) -> list[str]:
+    from ivory_spark.functions.stopwords import STOPWORDS_EN
+
+    if not content:
+        return []
+    return [
+        t
+        for t in _GRX.findall(content.lower())
+        if len(t) <= MAX_TOKEN_LEN and t not in STOPWORDS_EN
     ]
 
 
@@ -402,6 +436,14 @@ register_tokenizer(
         cjk_bigram_tokenize_py,
         _python_doc_terms(cjk_bigram_tokenize_py, positional=False),
         _python_doc_terms(cjk_bigram_tokenize_py, positional=True),
+    )
+)
+register_tokenizer(
+    TokenizerSpec(
+        "nl_nostem",
+        nl_nostem_tokenize_py,
+        _jvm_doc_terms(nl_tokens_expr, positional=False),
+        _jvm_doc_terms(nl_tokens_expr, positional=True),
     )
 )
 register_tokenizer(
