@@ -95,3 +95,19 @@ STOPWORDS_AR = frozenset("""
 وراء ليس ليست هناك هنا أيضا ايضا فقط ولكن لكن إلا الا كما لدى لها له لهم
 نحن أنا انا أنت انت أنتم انتم به بها بهم إذ اذ أي اي أما اما أن
 """.split())
+
+# Spanish stopword list for the lucene_es chain — standard public Spanish
+# function-word list (the role of the Lucene SpanishAnalyzer stoplist the
+# reference uses for es; reproduced behavior, standard public data).
+STOPWORDS_ES = frozenset("""
+a al algo algunas algunos ante antes como con contra cual cuando de del
+desde donde durante e el ella ellas ellos en entre era erais eran eras
+eres es esa esas ese eso esos esta estaba estado estamos estan estar
+estas este esto estos estoy fue fueron fui fuimos ha habia han hasta hay
+la las le les lo los mas me mi mis mucho muchos muy nada ni no nos
+nosotras nosotros nuestra nuestras nuestro nuestros o os otra otras otro
+otros para pero poco por porque que quien quienes se sea sean segun ser
+si sido sin sobre sois somos son soy su sus también tambien te tenemos
+tengo ti tiene tienen todo todos tu tus un una uno unos vosotras
+vosotros y ya yo él ésta éstas éste éstos
+""".split())

@@ -245,6 +245,29 @@ _GRX_CS = re.compile(GALAGO_CS_PATTERN)
 _GRX_AR = re.compile(r"[ء-غف-يٱa-z0-9]+")
 
 
+GALAGO_ES_PATTERN = r"[a-záéíóúüñ0-9]+"
+_GRX_ES = re.compile(GALAGO_ES_PATTERN)
+
+
+@lru_cache(maxsize=1 << 18)
+def _stem_es(token: str) -> str:
+    from ivory_spark.functions.stemmer_es import spanish_stem
+
+    return spanish_stem(token)
+
+
+def lucene_es_tokenize_py(content: str) -> list[str]:
+    from ivory_spark.functions.stopwords import STOPWORDS_ES
+
+    if not content:
+        return []
+    return [
+        _stem_es(t)
+        for t in _GRX_ES.findall(content.lower())
+        if len(t) <= MAX_TOKEN_LEN and t not in STOPWORDS_ES
+    ]
+
+
 @lru_cache(maxsize=1 << 18)
 def _stem_cs(token: str) -> str:
     from ivory_spark.functions.stemmer_cs import czech_stem
@@ -460,5 +483,13 @@ register_tokenizer(
         lucene_ar_tokenize_py,
         _python_doc_terms(lucene_ar_tokenize_py, positional=False),
         _python_doc_terms(lucene_ar_tokenize_py, positional=True),
+    )
+)
+register_tokenizer(
+    TokenizerSpec(
+        "lucene_es",
+        lucene_es_tokenize_py,
+        _python_doc_terms(lucene_es_tokenize_py, positional=False),
+        _python_doc_terms(lucene_es_tokenize_py, positional=True),
     )
 )

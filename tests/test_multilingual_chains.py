@@ -12,6 +12,7 @@ import pytest
 
 from ivory_spark.functions.stemmer_ar import arabic_light, arabic_normalize
 from ivory_spark.functions.stemmer_cs import czech_stem
+from ivory_spark.functions.stemmer_es import spanish_stem
 from ivory_spark.functions.tokenizer import get_tokenizer
 from ivory_spark.index.build import IndexConfig, build_index
 from ivory_spark.index.reader import open_index
@@ -50,6 +51,20 @@ def test_arabic_normalize_and_stem_goldens():
     assert arabic_light("ولد") == "ولد"                # waw kept: residual < 3
 
 
+def test_spanish_stem_goldens():
+    # Snowball Spanish algorithm behavior (hand-traced against the
+    # published spec: regions, pronoun step, suffix groups, deaccent)
+    assert spanish_stem("gatos") == "gat"
+    assert spanish_stem("canciones") == "cancion"
+    assert spanish_stem("canción") == "cancion"
+    assert spanish_stem("amablemente") == "amabl"
+    assert spanish_stem("lógica") == "logic"
+    assert spanish_stem("trabajando") == "trabaj"
+    assert spanish_stem("rápidamente") == "rapid"
+    assert spanish_stem("nacionalidad") == "nacional"
+    assert spanish_stem("comiéndoselo") == "com"  # pronoun + deaccent + 2b
+
+
 def test_chain_tokenize_stopwords():
     cs = get_tokenizer("lucene_cs").tokenize_py
     assert cs("Ženami a ženách, ale okno!") == ["žen", "žen", "okn"]
@@ -78,6 +93,17 @@ CS_DOCS = [
     "městem projela tramvaj",
 ] * 3
 
+ES_DOCS = [
+    "los gatos corren por la casa",
+    "el gato duerme en la cocina",
+    "las canciones populares de la región",
+    "una canción lenta y amable",
+    "trabajando rápidamente en la biblioteca",
+    "los trabajos de la nacionalidad española",
+    "la lógica del programa es simple",
+    "bibliotecas públicas de la ciudad",
+] * 3
+
 AR_DOCS = [
     "الكتاب في المكتبة الكبيرة",
     "كتابها الجديد عن التاريخ",
@@ -96,6 +122,10 @@ AR_DOCS = [
         ("lucene_cs", CS_DOCS, [
             {"qid": "c1", "query": "ženách v městě"},
             {"qid": "c2", "query": "pražský soudce"},
+        ]),
+        ("lucene_es", ES_DOCS, [
+            {"qid": "e1", "query": "gatos cantando canciones"},
+            {"qid": "e2", "query": "trabajos lógicos"},
         ]),
         ("lucene_ar", AR_DOCS, [
             {"qid": "a1", "query": "الكتب والمكتبات"},
