@@ -111,3 +111,21 @@ si sido sin sobre sois somos son soy su sus también tambien te tenemos
 tengo ti tiene tienen todo todos tu tus un una uno unos vosotras
 vosotros y ya yo él ésta éstas éste éstos
 """.split())
+
+# French stopword list for the lucene_fr chain — standard public French
+# function-word list (the role of the Lucene FrenchAnalyzer stoplist the
+# reference uses for fr; reproduced behavior, standard public data).
+STOPWORDS_FR = frozenset("""
+au aux avec ce ces dans de des du elle en et eux il ils je la le les leur
+lui ma mais me même mes moi mon ne nos notre nous on ou où par pas pour
+qu que qui sa se ses son sur ta te tes toi ton tu un une vos votre vous
+c d j l à m n s t y été étée étées étés étant suis es est sommes êtes
+sont serai seras sera serons serez seront serais serait serions seriez
+seraient étais était étions étiez étaient fus fut fûmes fûtes furent
+sois soit soyons soyez soient fusse fusses fût fussions fussiez fussent
+ayant eu eue eues eus ai as avons avez ont aurai auras aura aurons aurez
+auront aurais aurait aurions auriez auraient avais avait avions aviez
+avaient eut eûmes eûtes eurent aie aies ait ayons ayez aient eusse eusses
+eût eussions eussiez eussent ceci cela celà cet cette ici là leurs quel
+quels quelle quelles sans soi
+""".split())

@@ -268,6 +268,29 @@ def lucene_es_tokenize_py(content: str) -> list[str]:
     ]
 
 
+GALAGO_FR_PATTERN = r"[a-zàâçëéêèïîôûùüœ0-9]+"
+_GRX_FR = re.compile(GALAGO_FR_PATTERN)
+
+
+@lru_cache(maxsize=1 << 18)
+def _stem_fr(token: str) -> str:
+    from ivory_spark.functions.stemmer_fr import french_stem
+
+    return french_stem(token)
+
+
+def lucene_fr_tokenize_py(content: str) -> list[str]:
+    from ivory_spark.functions.stopwords import STOPWORDS_FR
+
+    if not content:
+        return []
+    return [
+        _stem_fr(t)
+        for t in _GRX_FR.findall(content.lower())
+        if len(t) <= MAX_TOKEN_LEN and t not in STOPWORDS_FR
+    ]
+
+
 @lru_cache(maxsize=1 << 18)
 def _stem_cs(token: str) -> str:
     from ivory_spark.functions.stemmer_cs import czech_stem
@@ -491,5 +514,13 @@ register_tokenizer(
         lucene_es_tokenize_py,
         _python_doc_terms(lucene_es_tokenize_py, positional=False),
         _python_doc_terms(lucene_es_tokenize_py, positional=True),
+    )
+)
+register_tokenizer(
+    TokenizerSpec(
+        "lucene_fr",
+        lucene_fr_tokenize_py,
+        _python_doc_terms(lucene_fr_tokenize_py, positional=False),
+        _python_doc_terms(lucene_fr_tokenize_py, positional=True),
     )
 )

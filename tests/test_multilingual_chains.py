@@ -13,6 +13,7 @@ import pytest
 from ivory_spark.functions.stemmer_ar import arabic_light, arabic_normalize
 from ivory_spark.functions.stemmer_cs import czech_stem
 from ivory_spark.functions.stemmer_es import spanish_stem
+from ivory_spark.functions.stemmer_fr import french_stem
 from ivory_spark.functions.tokenizer import get_tokenizer
 from ivory_spark.index.build import IndexConfig, build_index
 from ivory_spark.index.reader import open_index
@@ -65,6 +66,23 @@ def test_spanish_stem_goldens():
     assert spanish_stem("comiéndoselo") == "com"  # pronoun + deaccent + 2b
 
 
+def test_french_stem_goldens():
+    # Snowball French algorithm behavior (hand-traced: prelude marks,
+    # RV/R1/R2, suffix groups, undouble, final-syllable un-accent)
+    assert french_stem("chantaient") == "chant"     # 2b -aIent
+    assert french_stem("mangeront") == "mang"       # 2b -eront
+    assert french_stem("logiquement") == "logiqu"   # -ement, iqU kept (not R2)
+    assert french_stem("heureuse") == "heureux"     # euse in R1 -> eux
+    assert french_stem("majestueux") == "majestu"   # eux in R2 deleted
+    assert french_stem("nationale") == "national"   # step-4 final e
+    assert french_stem("continuité") == "continu"   # -ité in R2
+    assert french_stem("nations") == "nation"       # step-4 s
+    assert french_stem("finissait") == "fin"        # 2a -issait
+    # eus IS in R2 here -> deleted after -ement; step 6 unaccents only
+    # the final syllable
+    assert french_stem("généreusement") == "géner"
+
+
 def test_chain_tokenize_stopwords():
     cs = get_tokenizer("lucene_cs").tokenize_py
     assert cs("Ženami a ženách, ale okno!") == ["žen", "žen", "okn"]
@@ -104,6 +122,17 @@ ES_DOCS = [
     "bibliotecas públicas de la ciudad",
 ] * 3
 
+FR_DOCS = [
+    "les chansons populaires de la ville",
+    "une chanson heureuse et nationale",
+    "ils chantaient dans la rue",
+    "le chanteur finissait son travail",
+    "la continuité du programme logique",
+    "les nations majestueuses du monde",
+    "il mangera rapidement ce soir",
+    "une bibliothèque nationale immense",
+] * 3
+
 AR_DOCS = [
     "الكتاب في المكتبة الكبيرة",
     "كتابها الجديد عن التاريخ",
@@ -126,6 +155,10 @@ AR_DOCS = [
         ("lucene_es", ES_DOCS, [
             {"qid": "e1", "query": "gatos cantando canciones"},
             {"qid": "e2", "query": "trabajos lógicos"},
+        ]),
+        ("lucene_fr", FR_DOCS, [
+            {"qid": "f1", "query": "chansons nationales"},
+            {"qid": "f2", "query": "chanteurs heureux"},
         ]),
         ("lucene_ar", AR_DOCS, [
             {"qid": "a1", "query": "الكتب والمكتبات"},
