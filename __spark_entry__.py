@@ -710,6 +710,52 @@ SELECT qid, rank, vec_id, cosine FROM (
 """
 
 
+def _sql_ann_ivf_top5(n_centroids: int = 16, nprobe: int = 6, k: int = 5) -> str:
+    """DuckDB twin of similarity.ivf_topk: centroids are the md5-ranked
+    vector sample (pure SQL — no literals needed); every cosine used for
+    cell assignment / probe selection is the same ordered left fold both
+    engines compute, so argmax cells agree at boundaries."""
+    fold_dot = (
+        "list_reduce(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]), "
+        "(a, b) -> a + b)"
+    )
+    fold_norm = "sqrt(list_reduce(list_transform({a}, x -> x * x), (a, b) -> a + b))"
+    asgn_cos = (
+        fold_dot.format(a="t.v", b="c.cv")
+        + " / (" + fold_norm.format(a="t.v") + " * c.cnorm)"
+    )
+    out_cos = (
+        "round(" + fold_dot.format(a="q.qv", b="eb.v")
+        + " / (" + fold_norm.format(a="q.qv") + " * " + fold_norm.format(a="eb.v") + "), 6)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ch AS (SELECT vec_id, v,
+       ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS h FROM e),
+cents AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cidx, v AS cv,
+          {fold_norm.format(a="v")} AS cnorm
+          FROM ch ORDER BY h, vec_id LIMIT {n_centroids}),
+asgn AS (SELECT t.vec_id, c.cidx, {asgn_cos} AS cos
+         FROM (SELECT vec_id, v FROM e) t(vec_id, v) CROSS JOIN cents c),
+cell AS (SELECT a.vec_id, a.cidx AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cos DESC, cidx) AS rn FROM asgn) a WHERE rn = 1),
+q0 AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+qasgn AS (SELECT t.qid, c.cidx, {asgn_cos.replace('t.v', 't.qv')} AS cos
+          FROM (SELECT qid, qv FROM q0) t(qid, qv) CROSS JOIN cents c),
+qp AS (SELECT qid, cidx AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                  ORDER BY cos DESC, cidx) AS rn FROM qasgn) WHERE rn <= {nprobe}),
+cand AS (SELECT DISTINCT qp.qid, ce.vec_id FROM qp
+         JOIN cell ce USING (cell) WHERE ce.vec_id <> qp.qid),
+j AS (SELECT c.qid, c.vec_id, {out_cos} AS cosine
+      FROM cand c JOIN q0 q ON q.qid = c.qid JOIN e eb ON eb.vec_id = c.vec_id)
+SELECT qid, rank, vec_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id)::INT AS rank
+  FROM j) WHERE rank <= {k}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- IR pipeline (SURVEY.md §2: A1-A8, F1/F2/F5, K1/K2, J4/J5, P1) ---
@@ -736,6 +782,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- similarity search -------------------------------------------
         "ann_cosine_top5": lambda s, d: SIM.brute_force_topk(*_ann_queries(s, d), k=5),
         "ann_lsh_top5": lambda s, d: SIM.lsh_bucketed_topk(*_ann_queries(s, d), k=5),
+        "ann_ivf_top5": lambda s, d: SIM.ivf_topk(
+            *_ann_queries(s, d), k=5, n_centroids=16, nprobe=6
+        ),
         # --- text analysis ------------------------------------------------
         "text_token_count": lambda s, d: TS.token_count(_docs(s, d)),
         "text_bpe_token_count": lambda s, d: TS.bpe_token_count(_docs(s, d)),
@@ -901,6 +950,7 @@ FROM b""",
         "engine_f2exp_top10": _sql_engine_scored_top10("f2exp"),
         "engine_sd_top10": _sql_engine_sd_top10(),
         "ann_lsh_top5": _sql_ann_lsh_top5(),
+        "ann_ivf_top5": _sql_ann_ivf_top5(),
         "engine_prf_top10": _sql_engine_prf_top10(),
         "engine_lce_top10": _sql_engine_prf_top10(method="lce"),
     }

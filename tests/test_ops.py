@@ -262,3 +262,25 @@ def test_lsh_multiprobe_lifts_recall(spark, emb):
     tuned = {(r["qid"], r["vec_id"])
              for r in lsh_bucketed_topk(emb, q, k=5, n_planes=4, multiprobe=2).collect()}
     assert len(tuned & exact) / len(exact) >= 0.8
+
+
+def test_ivf_ann_recall(spark, emb):
+    """IVF-flat: nprobe monotonically lifts recall vs brute force, and
+    probing ALL cells recovers it exactly (the cells partition the
+    corpus, so a full probe is exhaustive)."""
+    from ivory_spark.ops.similarity import brute_force_topk, ivf_topk, query_vectors
+
+    q = query_vectors(spark, emb, n=10)
+    exact = {(r["qid"], r["vec_id"]) for r in brute_force_topk(emb, q, k=3).collect()}
+
+    def recall(nprobe):
+        got = {
+            (r["qid"], r["vec_id"])
+            for r in ivf_topk(emb, q, k=3, n_centroids=8, nprobe=nprobe).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r2, r8 = recall(2), recall(8)
+    assert r2 >= 0.1
+    assert r8 >= r2
+    assert r8 == 1.0  # all 8 cells probed == exhaustive search
