@@ -56,10 +56,32 @@ def append_delta(
     spark: SparkSession, index_root: str, delta_corpus_path: str
 ) -> dict:
     """Fold the documents at delta_corpus_path (same corpus schema) into
-    the index at index_root. Returns the updated properties dict."""
+    the index at index_root. Returns the updated properties dict.
+
+    Lineage: each append writes a StageRun manifest
+    (_manifests/append_<k>.json) with wall time + row metrics, matching
+    the per-stage lineage the build pipeline records. Crash safety: the
+    properties file is written LAST; a crash mid-append leaves artifact
+    rows beyond properties' n_docs/df counts, which validate_index
+    detects (docno density + posting-count-vs-df checks) and
+    repair_partial_append removes."""
+    from ivory_spark.plans.manifest import StageRun
+
     props_path = os.path.join(index_root, "properties.json")
     with open(props_path) as f:
         props = json.load(f)
+    append_idx = len(props.get("appended_deltas", []))
+    with StageRun(
+        index_root, f"append_{append_idx}", {"delta": delta_corpus_path}
+    ) as run:
+        props = _append_delta_inner(spark, index_root, delta_corpus_path, props, run)
+    return props
+
+
+def _append_delta_inner(
+    spark: SparkSession, index_root: str, delta_corpus_path: str, props: dict, run
+) -> dict:
+    props_path = os.path.join(index_root, "properties.json")
     if props.get("min_df", 1) != 1 or props.get("max_df") is not None:
         raise ValueError("append_delta requires min_df=1 and max_df=None")
     cfg = IndexConfig(
@@ -186,6 +208,42 @@ def append_delta(
     with open(tmp, "w") as f:
         json.dump(props, f, indent=2)
     os.replace(tmp, props_path)
+    run.metrics.update(
+        n_docs_added=int(n_new),
+        n_new_terms=int(n_new_terms),
+        collection_length_added=int(clen_d),
+        delta=delta_corpus_path,
+    )
+    return props
+
+
+def repair_partial_append(spark: SparkSession, index_root: str) -> dict:
+    """Remove artifact rows left behind by a crashed append_delta (rows
+    beyond the last committed properties): docmap/tdf/doclens rows with
+    docno > n_docs, postings runs whose first_docno > n_docs, and a
+    leftover dictionary_tmp. After repair, validate_index passes and the
+    append can simply be retried (the properties file is the commit
+    point, so the committed index was never touched)."""
+    props_path = os.path.join(index_root, "properties.json")
+    with open(props_path) as f:
+        props = json.load(f)
+    n_docs = props["n_docs"]
+    import shutil
+
+    leftover = os.path.join(index_root, "dictionary_tmp")
+    if os.path.exists(leftover):
+        shutil.rmtree(leftover)
+    for name, col in (("docmap", "docno"), ("tdf", "docno"),
+                      ("doclens", "docno"), ("postings", "first_docno")):
+        path = os.path.join(index_root, name)
+        df = spark.read.parquet(path)
+        kept = df.filter(F.col(col) <= n_docs)
+        if kept.count() == df.count():
+            continue
+        tmp = path + "_repair"
+        kept.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(path)
+        os.rename(tmp, path)
     return props
 
 

@@ -140,3 +140,46 @@ def test_append_drops_cross_base_duplicates(spark, roots):
     # overlap rows (N_BASE - N_DELTA of them duplicate base content) were
     # dropped by the sha256 anti-join
     assert 0 < n_appended <= n_delta_rows - (N_BASE - N_DELTA)
+
+
+def test_partial_append_detected_and_repaired(spark, tmp_path_factory):
+    """A crashed append leaves rows beyond the committed properties:
+    validate_index must detect them, repair_partial_append must remove
+    them, and queries must be unchanged afterwards."""
+    import shutil
+
+    from ivory_spark.corpus import generate_corpus
+    from ivory_spark.index.compact import repair_partial_append
+    from ivory_spark.plans.validate import IndexValidationError, validate_index
+
+    d = tmp_path_factory.mktemp("repair")
+    p = str(d / "c.parquet")
+    generate_corpus(80, seed=31).drop(columns=["sha256"], errors="ignore").to_parquet(
+        p, index=False
+    )
+    root = str(d / "idx")
+    build_index(spark, p, root, IndexConfig(salt_threshold=40, n_shards=5))
+    idx = open_index(spark, root)
+    before = {(r["qid"], r["docno"]) for r in
+              bm25_topk(spark, idx, QUERY_SET[:2], k=5, with_docid=False).collect()}
+
+    # simulate the crash: orphan rows beyond properties' n_docs in
+    # docmap and doclens (as a mid-append failure would leave)
+    n_docs = idx.properties["n_docs"]
+    spark.createDataFrame(
+        [(n_docs + 1, 7)], "docno long, doclen int"
+    ).write.mode("append").parquet(os.path.join(root, "doclens"))
+    dm = spark.read.parquet(os.path.join(root, "docmap")).limit(1).withColumn(
+        "docno", F.lit(n_docs + 1).cast("long")
+    )
+    dm.write.mode("append").parquet(os.path.join(root, "docmap"))
+
+    with pytest.raises(IndexValidationError):
+        validate_index(spark, open_index(spark, root))
+
+    repair_partial_append(spark, root)
+    repaired = open_index(spark, root)
+    validate_index(spark, repaired)  # passes again
+    after = {(r["qid"], r["docno"]) for r in
+             bm25_topk(spark, repaired, QUERY_SET[:2], k=5, with_docid=False).collect()}
+    assert after == before
