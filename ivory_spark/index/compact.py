@@ -102,10 +102,17 @@ def _append_delta_inner(
     delta = spark.read.parquet(delta_corpus_path)
     hashed = delta.withColumn("sha256", F.sha2(F.col("content"), 256))
     w = Window.partitionBy("sha256").orderBy("repo", "path", "commit")
+    # align to the base docmap's columns so the parquet append stays
+    # schema-homogeneous (stream sinks carry extra columns like ingest_ts)
+    base_cols = [
+        f.name
+        for f in spark.read.parquet(docmap_path).schema.fields
+        if f.name != "docno"
+    ]
     fresh = (
         hashed.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        .select(*base_cols)
         .join(base_hashes, "sha256", "left_anti")
     )
     new_docs, n_new, pinned = assign_sequential_ids(

@@ -92,3 +92,20 @@ def run_to_memory(df: DataFrame, name: str):
     )
     q.awaitTermination()
     return q
+
+
+def run_to_parquet(df: DataFrame, path: str, checkpoint: str):
+    """Drain all available input synchronously into a parquet directory —
+    the delta staging area that index/compact.append_delta folds into the
+    batch index (the stream handles watermark-horizon dedup; the append
+    dedups against the whole base via the docmap sha256 anti-join)."""
+    q = (
+        df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -183,3 +183,64 @@ def test_partial_append_detected_and_repaired(spark, tmp_path_factory):
     after = {(r["qid"], r["docno"]) for r in
              bm25_topk(spark, repaired, QUERY_SET[:2], k=5, with_docid=False).collect()}
     assert after == before
+
+
+def test_stream_to_index_integration(spark, tiny_corpus, tmp_path):
+    """The full streaming division of labor: documents arrive on a
+    stream, streaming_exact_dedup drops within-horizon duplicates, the
+    survivors stage to parquet, append_delta folds them into the batch
+    index (dropping docs whose content the base already has), and after
+    refresh_bounds the WAND path retrieves the new documents."""
+    import pandas as pd
+
+    from ivory_spark.index.compact import repair_partial_append  # noqa: F401
+    from ivory_spark.streaming.ingest import (
+        read_document_stream,
+        run_to_parquet,
+        streaming_exact_dedup,
+    )
+
+    base_pdf = tiny_corpus.head(60).drop(columns=["sha256"])
+    base_path = str(tmp_path / "base.parquet")
+    base_pdf.to_parquet(base_path, index=False)
+    root = str(tmp_path / "idx")
+    build_index(spark, base_path, root, IndexConfig(salt_threshold=30, n_shards=4))
+    n0 = open_index(spark, root).properties["n_docs"]
+
+    # stream: one brand-new doc (unique token), one duplicate of a base
+    # doc (same content), and the new doc re-delivered (stream dedup)
+    stream_dir = str(tmp_path / "stream")
+    os.makedirs(stream_dir)
+    new_text = "zzzuniqueterm appears here exactly once in the collection"
+    rows = pd.DataFrame(
+        {
+            "repo": ["r2"] * 3,
+            "path": ["new1", "dup1", "new1b"],
+            "commit": ["c1", "c2", "c3"],
+            "lang": ["x"] * 3,
+            "content": [new_text, base_pdf["content"].iloc[0], new_text],
+            "ingest_ts": pd.Series([pd.Timestamp("2026-01-02")] * 3).astype(
+                "datetime64[us]"
+            ),
+        }
+    )
+    rows.to_parquet(os.path.join(stream_dir, "b0.parquet"), index=False)
+
+    delta_dir = str(tmp_path / "delta")
+    run_to_parquet(
+        streaming_exact_dedup(read_document_stream(spark, stream_dir)),
+        delta_dir,
+        str(tmp_path / "ckpt"),
+    )
+
+    from ivory_spark.index.compact import append_delta, refresh_bounds
+
+    props = append_delta(spark, root, delta_dir)
+    # only the ONE genuinely-new document survived both dedup layers
+    assert props["n_docs"] == n0 + 1
+    refresh_bounds(spark, root)
+    idx = open_index(spark, root)
+    hits = bm25_topk_wand(
+        spark, idx, [{"qid": "s1", "query": "zzzuniqueterm"}], k=5
+    ).collect()
+    assert len(hits) == 1 and hits[0]["docno"] == n0 + 1
