@@ -165,3 +165,132 @@ def oracle_expand_queries(
         )
         out.append({"qid": q["qid"], "terms": _mix(tokenize(q["query"]), exp, alpha)})
     return out
+
+
+# ---------------------------------------------------------------------------
+# N-gram latent concept expansion (NGramLatentConceptExpander analogue,
+# smrf/model/expander/NGramLatentConceptExpander.java): mine the top
+# bigram concepts from the feedback docs' positional vectors, weight by
+# exp(doc score) * adjacency frequency (the same LCE mass as
+# lce_weights), and inject them into the MRF as weighted #od[1] cliques —
+# mrf_topk's extra_cliques hook scores them next to the query cliques.
+# ---------------------------------------------------------------------------
+
+
+def bigram_lce_weights(
+    records: list[tuple[str, str, int, int, float]], fb_concepts: int
+) -> list[tuple[tuple[str, str], float]]:
+    """records: (term_a, term_b, count, dl, doc_score) adjacency counts
+    per feedback doc. w(b) = Σ_d exp(score_d) * count/dl — float64 folds
+    in sorted record order, L1-normalized over the kept concepts."""
+    import math
+
+    acc: dict[tuple[str, str], float] = {}
+    for ta, tb, cnt, dl, s in sorted(records):
+        if dl > 0:
+            key = (ta, tb)
+            acc[key] = acc.get(key, 0.0) + math.exp(float(s)) * (cnt / dl)
+    top = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:fb_concepts]
+    total = sum(w for _, w in top)
+    if total <= 0:
+        return []
+    return [(b, w / total) for b, w in top]
+
+
+def _doc_bigram_counts(term_pos: dict[str, "list[int]"]) -> dict[tuple[str, str], int]:
+    """Adjacent-pair counts from a doc's term -> positions map."""
+    inv: dict[int, str] = {}
+    for t, ps in term_pos.items():
+        for p in ps:
+            inv[int(p)] = t
+    counts: dict[tuple[str, str], int] = {}
+    for p in sorted(inv):
+        if p + 1 in inv:
+            key = (inv[p], inv[p + 1])
+            counts[key] = counts.get(key, 0) + 1
+    return counts
+
+
+def mine_bigram_concepts(
+    spark: SparkSession,
+    index: Index,
+    queries: list[dict],
+    fb_docs: int = 5,
+    fb_concepts: int = 5,
+) -> dict[str, list[tuple[tuple[str, str], float]]]:
+    """qid -> [(bigram, weight)] mined from BM25 top-fb_docs feedback
+    docs' positional term vectors (requires a positional index; the tdf
+    read prunes to the feedback docnos via range clustering)."""
+    import os
+
+    from ivory_spark.query.exact import bm25_topk
+
+    if not index.properties.get("positional"):
+        raise ValueError("bigram concept mining requires a positional index")
+    initial = bm25_topk(spark, index, queries, k=fb_docs, with_docid=False)
+    fb: dict[str, list] = {}
+    for r in initial.collect():
+        fb.setdefault(r["qid"], []).append((r["docno"], float(r["score"])))
+    all_docnos = sorted({d for ds in fb.values() for d, _ in ds})
+    if not all_docnos:
+        return {q["qid"]: [] for q in queries}
+    tdf = spark.read.parquet(os.path.join(index.root, "tdf"))
+    rows = (
+        tdf.filter(F.col("docno").isin([int(d) for d in all_docnos]))
+        .join(F.broadcast(index.dictionary.select("term")), "term", "left_semi")
+        .select("term", "docno", "positions", "dl")
+        .collect()
+    )
+    by_doc: dict[int, dict[str, list]] = {}
+    dls: dict[int, int] = {}
+    for r in rows:
+        by_doc.setdefault(r["docno"], {})[r["term"]] = list(r["positions"])
+        dls[r["docno"]] = r["dl"]
+    out = {}
+    for q in queries:
+        recs = []
+        for d, s in fb.get(q["qid"], []):
+            for (ta, tb), cnt in _doc_bigram_counts(by_doc.get(d, {})).items():
+                recs.append((ta, tb, cnt, dls.get(d, 0), s))
+        out[q["qid"]] = bigram_lce_weights(recs, fb_concepts)
+    return out
+
+
+def oracle_mine_bigram_concepts(
+    oracle_index, queries: list[dict], fb_docs: int = 5, fb_concepts: int = 5
+) -> dict[str, list[tuple[tuple[str, str], float]]]:
+    """Identical semantics over the numpy oracle index."""
+    from ivory_spark.oracle import oracle_topk
+
+    oi = oracle_index
+    initial = oracle_topk(oi, queries, k=fb_docs)
+    out = {}
+    for q in queries:
+        recs = []
+        for r in initial.get(q["qid"], []):
+            d = r["docno"]
+            term_pos = {
+                t: list(posmap[d]) for t, posmap in oi.positions.items() if d in posmap
+            }
+            for (ta, tb), cnt in _doc_bigram_counts(term_pos).items():
+                recs.append((ta, tb, cnt, oi.doclens[d], float(r["score"])))
+        out[q["qid"]] = bigram_lce_weights(recs, fb_concepts)
+    return out
+
+
+def concept_cliques(
+    concepts: dict[str, list[tuple[tuple[str, str], float]]],
+    alpha: float = 0.3,
+    scorer: str = "bm25",
+    params: dict | None = None,
+) -> dict[str, list[dict]]:
+    """Mined bigrams -> weighted #od[1] clique dicts for
+    mrf_topk(extra_cliques=...)."""
+    out = {}
+    for qid, items in concepts.items():
+        out[qid] = [
+            {"kind": "od", "terms": (ta, tb), "weight": alpha * w,
+             "window": 1, "scorer": scorer, "params": params or {}}
+            for (ta, tb), w in items
+        ]
+    return out

@@ -525,6 +525,7 @@ def mrf_topk(
     model: MrfModel | None = None,
     with_docid: bool = True,
     candidates: dict[str, set[int]] | None = None,
+    extra_cliques: dict[str, list[dict]] | None = None,
 ) -> DataFrame:
     """Exact SD/FD retrieval over a positional index: doc-sharded kernel
     (same shard grid as WAND), per-doc clique scoring, global top-k with
@@ -533,7 +534,13 @@ def mrf_topk(
     candidates: optional qid -> docno set; when given, only those docs
     are scored (the cascade-ranking reranker contract — an expensive
     stage applied to a cheap stage's survivors,
-    ivory/cascade/retrieval/CascadeEval.java)."""
+    ivory/cascade/retrieval/CascadeEval.java).
+
+    extra_cliques: optional qid -> additional clique dicts appended after
+    the query-derived ones (latent-concept expansion injects mined
+    concept cliques here; their terms are fetched even when absent from
+    the query text). Clique-ordered float32 accumulation keeps the score
+    deterministic."""
     model = model or MrfModel()
     props = index.properties
     if not props.get("positional"):
@@ -543,17 +550,30 @@ def mrf_topk(
     k = model.k
 
     tokenize = get_tokenizer(props.get("tokenizer", "code_v1")).tokenize_py
-    all_terms = sorted({t for q in queries for t in tokenize(q["query"])})
+    extra = extra_cliques or {}
+    extra_terms = {
+        qid: sorted({t for c in cls for t in c["terms"]}) for qid, cls in extra.items()
+    }
+    all_terms = sorted(
+        {t for q in queries for t in tokenize(q["query"])}
+        | {t for ts in extra_terms.values() for t in ts}
+    )
     dict_rows = index.dictionary.filter(F.col("term").isin(all_terms)).collect()
     stats = {r["term"]: (r["df"], r["cf"]) for r in dict_rows}
     term_by_id = {r["termid"]: r["term"] for r in dict_rows}
     termids = sorted(term_by_id)
 
     q_cliques = {
-        q["qid"]: build_cliques(tokenize(q["query"]), model) for q in queries
+        q["qid"]: build_cliques(tokenize(q["query"]), model)
+        + list(extra.get(q["qid"], []))
+        for q in queries
     }
     q_terms = {
-        q["qid"]: sorted(set(tokenize(q["query"])) & set(stats)) for q in queries
+        q["qid"]: sorted(
+            (set(tokenize(q["query"])) | set(extra_terms.get(q["qid"], ())))
+            & set(stats)
+        )
+        for q in queries
     }
 
     if not termids:
@@ -680,17 +700,20 @@ def mrf_topk(
 def oracle_mrf_topk(
     oracle_index, queries: list[dict], model: MrfModel | None = None,
     candidates: dict[str, set[int]] | None = None,
+    extra_cliques: dict[str, list[dict]] | None = None,
 ) -> dict[str, list[dict]]:
     """Same semantics over the single-node oracle index (which keeps full
     term->positions maps per doc)."""
     model = model or MrfModel()
     oi = oracle_index
+    extra = extra_cliques or {}
     stats = {t: (df, cf) for t, (tid, df, cf) in oi.dictionary.items()}
     out: dict[str, list[dict]] = {}
     for q in queries:
         tokens = get_tokenizer(getattr(oi, "tokenizer", "code_v1")).tokenize_py(q["query"])
-        cliques = build_cliques(tokens, model)
-        qterms = [t for t in sorted(set(tokens)) if t in stats]
+        cliques = build_cliques(tokens, model) + list(extra.get(q["qid"], []))
+        eterms = {t for c in extra.get(q["qid"], []) for t in c["terms"]}
+        qterms = [t for t in sorted(set(tokens) | eterms) if t in stats]
         cand: set[int] = set()
         for t in qterms:
             cand.update(d for d, _ in oi.postings[t])

@@ -288,3 +288,37 @@ def test_score_docs_batch_equals_score_doc():
             dtype=np.float32,
         )
         assert np.array_equal(got.view(np.uint32), want.view(np.uint32)), model.dependence
+
+
+def test_bigram_concept_expansion_identity(spark, pos_index, pos_oracle):
+    """NGram latent concept expansion: mined bigram concepts are
+    identical engine-vs-oracle (same exp(score)-weighted adjacency mass),
+    and retrieval with the injected #od[1] concept cliques is float32
+    bit-identical between mrf_topk and the numpy oracle."""
+    from ivory_spark.query.expander import (
+        concept_cliques,
+        mine_bigram_concepts,
+        oracle_mine_bigram_concepts,
+    )
+
+    qs = MRF_QUERIES[:3]
+    c_engine = mine_bigram_concepts(spark, pos_index, qs, fb_docs=5, fb_concepts=4)
+    c_oracle = oracle_mine_bigram_concepts(pos_oracle, qs, fb_docs=5, fb_concepts=4)
+    assert c_engine == c_oracle  # exact float64 weight equality
+    assert any(c_engine[q["qid"]] for q in qs)  # concepts actually mined
+
+    extra = concept_cliques(c_engine, alpha=0.3)
+    from ivory_spark.query.mrf import FeatureSpec
+
+    model = MrfModel(dependence="sd", features=[FeatureSpec("term", 0.7)])
+    golden = oracle_mrf_topk(pos_oracle, qs, model, extra_cliques=extra)
+    _assert_match(
+        mrf_topk(spark, pos_index, qs, model, extra_cliques=extra), golden
+    )
+    # the concept cliques change at least one ranking vs the plain model
+    base = oracle_mrf_topk(pos_oracle, qs, model)
+    assert any(
+        [r["docno"] for r in golden[q]] != [r["docno"] for r in base[q]]
+        or [r["score"] for r in golden[q]] != [r["score"] for r in base[q]]
+        for q in golden
+    )
