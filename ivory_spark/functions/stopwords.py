@@ -129,3 +129,19 @@ avaient eut eûmes eûtes eurent aie aies ait ayons ayez aient eusse eusses
 eût eussions eussiez eussent ceci cela celà cet cette ici là leurs quel
 quels quelle quelles sans soi
 """.split())
+
+# Turkish stopword list for the lucene_tr chain — standard public Turkish
+# function-word list (the role of the Lucene TurkishAnalyzer stoplist the
+# reference uses for tr; reproduced behavior, standard public data).
+STOPWORDS_TR = frozenset("""
+acaba ama ancak artık aslında az bana bazı belki ben beni benim beri bile
+bin bir biri birkaç birşey biz bize bizi bizim böyle böylece bu buna bunda
+bundan bunlar bunları bunun burada çok çünkü da daha de defa değil diğer
+diye doksan dokuz dolayı dört elli en gibi hem hep hepsi her hiç için iki
+ile ise işte kadar karşın kendi kez ki kim kimden kime kimi kırk madem mi
+mı mu mü nasıl ne neden nedenle nerde nerede nereye niçin niye on ona
+ondan onlar onlardan onları onların onu onun otuz oysa öyle pek rağmen
+sana sekiz seksen sen senden seni senin siz sizden sizi sizin şey şeyden
+şeyi şeyler şöyle şu şuna şunda şundan şunları şunu tüm üç üzere var ve
+veya ya yani yedi yerine yetmiş yine yirmi yoksa yüz zaten
+""".split())

@@ -291,6 +291,38 @@ def lucene_fr_tokenize_py(content: str) -> list[str]:
     ]
 
 
+# lucene_tr: the reference's tr chain via Lucene's TurkishAnalyzer =
+# Turkish case folding (dotted/dotless i: I->ı, İ->i — plain lower()
+# is WRONG for Turkish), apostrophe-suffix removal (zürih'e -> zürih),
+# stoplist, then stemming. DOCUMENTED SUBSTITUTION: instead of the
+# Snowball Turkish stemmer (whose full vowel-harmony rule tables we do
+# not reproduce), stemming is the published fixed-prefix F5 truncation
+# (Can et al., "Information retrieval on Turkish texts", JASIST 2008 —
+# shown competitive with lemmatizer-based stemming for Turkish IR).
+_TR_FOLD = str.maketrans({"I": "ı", "İ": "i"})
+GALAGO_TR_PATTERN = r"[a-zçğıöşü0-9]+(?:'[a-zçğıöşü0-9]+)?"
+_GRX_TR = re.compile(GALAGO_TR_PATTERN)
+_TR_PREFIX = 5
+
+
+def turkish_fold(text: str) -> str:
+    return text.translate(_TR_FOLD).lower()
+
+
+def lucene_tr_tokenize_py(content: str) -> list[str]:
+    from ivory_spark.functions.stopwords import STOPWORDS_TR
+
+    if not content:
+        return []
+    out = []
+    for t in _GRX_TR.findall(turkish_fold(content)):
+        t = t.split("'", 1)[0]  # drop apostrophe suffix (zürih'e -> zürih)
+        if not t or len(t) > MAX_TOKEN_LEN or t in STOPWORDS_TR:
+            continue
+        out.append(t[:_TR_PREFIX])
+    return out
+
+
 @lru_cache(maxsize=1 << 18)
 def _stem_cs(token: str) -> str:
     from ivory_spark.functions.stemmer_cs import czech_stem
@@ -514,6 +546,14 @@ register_tokenizer(
         lucene_es_tokenize_py,
         _python_doc_terms(lucene_es_tokenize_py, positional=False),
         _python_doc_terms(lucene_es_tokenize_py, positional=True),
+    )
+)
+register_tokenizer(
+    TokenizerSpec(
+        "lucene_tr",
+        lucene_tr_tokenize_py,
+        _python_doc_terms(lucene_tr_tokenize_py, positional=False),
+        _python_doc_terms(lucene_tr_tokenize_py, positional=True),
     )
 )
 register_tokenizer(

@@ -83,6 +83,20 @@ def test_french_stem_goldens():
     assert french_stem("généreusement") == "géner"
 
 
+def test_turkish_chain():
+    """Turkish case folding (dotted/dotless i), apostrophe-suffix
+    removal, stoplist, F5 prefix stem (documented substitution for the
+    Snowball Turkish stemmer — Can et al. 2008)."""
+    from ivory_spark.functions.tokenizer import get_tokenizer, turkish_fold
+
+    # plain .lower() would give "istanbul" for İSTANBUL but "i̇" issues for I
+    assert turkish_fold("İSTANBUL ILIK") == "istanbul ılık"
+    tr = get_tokenizer("lucene_tr").tokenize_py
+    assert tr("Zürih'e gidiyorum") == ["zürih", "gidiy"]
+    # stopwords out, prefixes applied
+    assert tr("bu kitaplardan ve üniversitelerde") == ["kitap", "ünive"]
+
+
 def test_chain_tokenize_stopwords():
     cs = get_tokenizer("lucene_cs").tokenize_py
     assert cs("Ženami a ženách, ale okno!") == ["žen", "žen", "okn"]
@@ -133,6 +147,17 @@ FR_DOCS = [
     "une bibliothèque nationale immense",
 ] * 3
 
+TR_DOCS = [
+    "kitaplar masada duruyor",
+    "kitabın sayfaları eski",
+    "üniversiteler şehirde toplandı",
+    "üniversitenin kütüphanesi büyük",
+    "çocuklar bahçede oynuyor",
+    "İstanbul'da hava güzel",
+    "istanbullu çocuk okula gitti",
+    "kütüphanede sessizlik var",
+] * 3
+
 AR_DOCS = [
     "الكتاب في المكتبة الكبيرة",
     "كتابها الجديد عن التاريخ",
@@ -159,6 +184,10 @@ AR_DOCS = [
         ("lucene_fr", FR_DOCS, [
             {"qid": "f1", "query": "chansons nationales"},
             {"qid": "f2", "query": "chanteurs heureux"},
+        ]),
+        ("lucene_tr", TR_DOCS, [
+            {"qid": "t1", "query": "kitaplardan üniversiteye"},
+            {"qid": "t2", "query": "İstanbul çocukları"},
         ]),
         ("lucene_ar", AR_DOCS, [
             {"qid": "a1", "query": "الكتب والمكتبات"},
