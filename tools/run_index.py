@@ -32,7 +32,8 @@ def main() -> None:
     p.add_argument("--partitions", type=int, default=None)
     p.add_argument(
         "--tokenizer", default="code_v1",
-        help="analysis chain: code_v1 | galago_en (stoplist+Porter) | cjk_bigram",
+        help="analysis chain from the tokenizer registry: code_v1, "
+        "galago_en/de, lucene_es/fr/cs/ar/tr, cjk_bigram, nl_nostem",
     )
     p.add_argument("--validate", action="store_true")
     args = p.parse_args()

@@ -28,6 +28,17 @@ def main() -> None:
         default="bm25",
         choices=["bm25", "sd", "fd", "dirichlet", "jm", "tfidf", "f2exp"],
     )
+    p.add_argument(
+        "--model-xml",
+        default=None,
+        help="Ivory <model> XML file (attribute form or type=\"Feature\" "
+        "with SD/FD features) — overrides --model; replays reference run "
+        "files through run_batch",
+    )
+    p.add_argument(
+        "--model-id", default=None,
+        help="model id to select when --model-xml holds several <model>s",
+    )
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--scorer", default="wand", choices=["wand", "exact"])
     p.add_argument("--output", default=None, help="TREC run file (.gz ok)")
@@ -75,7 +86,12 @@ def main() -> None:
     spark = get_spark("ivory-query")
     index = open_index(spark, args.index_root)
 
-    if args.model in ("dirichlet", "jm", "tfidf", "f2exp"):
+    if args.model_xml:
+        from ivory_spark.query.batch import parse_model_xml, run_batch
+
+        model = parse_model_xml(args.model_xml, model_id=args.model_id)
+        res = run_batch(spark, index, queries, model)
+    elif args.model in ("dirichlet", "jm", "tfidf", "f2exp"):
         from ivory_spark.query.exact import scored_topk
 
         res = scored_topk(spark, index, queries, scorer=args.model, k=args.k)
