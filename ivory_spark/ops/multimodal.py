@@ -123,3 +123,48 @@ def decode_real(media: DataFrame) -> DataFrame:
         "media codecs not installed in this environment; "
         "use decode_features (deterministic stub) for plumbing tests"
     )
+
+
+def resize_stub(
+    media: DataFrame, target_w: int = 224, target_h: int = 224, sig_bytes: int = 64
+) -> DataFrame:
+    """Image-resize plumbing (the brief's resize step): mapInPandas over
+    Arrow batches with the real production schema — (media_id, src/target
+    dims, scale factors, resized payload). The pixel resample itself is
+    the stubbed step (no codecs in the container): the output payload is
+    a deterministic even-stride byte sample of the source payload, which
+    preserves the real operator's shape (fixed-size output rows whose
+    bytes depend on the full input payload) for partitioning/memory
+    tests."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {
+                "media_id": pdf["media_id"],
+                "src_w": pdf["width"],
+                "src_h": pdf["height"],
+                "target_w": pd.Series([target_w] * len(pdf), dtype="int32"),
+                "target_h": pd.Series([target_h] * len(pdf), dtype="int32"),
+            }
+            sx, sy, payloads = [], [], []
+            for w, h, p in zip(pdf["width"], pdf["height"], pdf["payload"]):
+                sx.append(float(target_w) / max(int(w), 1))
+                sy.append(float(target_h) / max(int(h), 1))
+                b = bytes(p)
+                if len(b) <= sig_bytes:
+                    payloads.append(b)
+                else:
+                    idx = np.linspace(0, len(b) - 1, sig_bytes).astype(np.int64)
+                    payloads.append(bytes(np.frombuffer(b, dtype=np.uint8)[idx]))
+            rows["scale_x"] = pd.Series(sx, dtype="float64")
+            rows["scale_y"] = pd.Series(sy, dtype="float64")
+            rows["payload"] = payloads
+            yield pd.DataFrame(rows)
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        gen,
+        schema=(
+            "media_id long, src_w int, src_h int, target_w int, target_h int, "
+            "scale_x double, scale_y double, payload binary"
+        ),
+    )

@@ -284,3 +284,24 @@ def test_ivf_ann_recall(spark, emb):
     assert r2 >= 0.1
     assert r8 >= r2
     assert r8 == 1.0  # all 8 cells probed == exhaustive search
+
+
+def test_multimodal_resize_plumbing(spark, docs):
+    """Resize op plumbing: image rows only, deterministic fixed-size
+    output payloads, correct scale factors."""
+    from ivory_spark.ops.multimodal import resize_stub, synthesize_media
+
+    media = synthesize_media(spark, docs.limit(30))
+    out = resize_stub(media, target_w=100, target_h=50).collect()
+    assert len(out) > 0
+    src = {r["media_id"]: r for r in media.filter("kind = 'image'").collect()}
+    assert {r["media_id"] for r in out} == set(src)
+    for r in out:
+        s = src[r["media_id"]]
+        assert len(r["payload"]) <= 64
+        assert r["scale_x"] == 100 / max(s["width"], 1)
+        assert r["scale_y"] == 50 / max(s["height"], 1)
+    # deterministic across runs
+    again = {r["media_id"]: bytes(r["payload"])
+             for r in resize_stub(media, target_w=100, target_h=50).collect()}
+    assert all(bytes(r["payload"]) == again[r["media_id"]] for r in out)
