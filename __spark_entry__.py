@@ -619,9 +619,10 @@ fb AS (SELECT qid, docno, score FROM (
 recs AS (SELECT fb.qid, etf.term, etf.docno, etf.tf, edl.dl, fb.score
          FROM fb JOIN etf USING (docno) JOIN edl ON edl.docno = fb.docno
          JOIN edict ON edict.term = etf.term),
+smax AS (SELECT qid, max(score) AS smax FROM fb GROUP BY qid),
 rmw AS (SELECT qid, term,
-        list_reduce(list({'exp(score::DOUBLE) * (tf::DOUBLE / dl::DOUBLE)' if method == 'lce' else 'tf::DOUBLE / dl::DOUBLE'} ORDER BY docno), (a, b) -> a + b) AS w
-        FROM recs WHERE dl > 0 GROUP BY qid, term),
+        list_reduce(list({'exp(score::DOUBLE - smax::DOUBLE) * (tf::DOUBLE / dl::DOUBLE)' if method == 'lce' else 'tf::DOUBLE / dl::DOUBLE'} ORDER BY docno), (a, b) -> a + b) AS w
+        FROM recs JOIN smax USING (qid) WHERE dl > 0 GROUP BY qid, term),
 kept AS (SELECT qid, term, w FROM (
           SELECT qid, term, w,
                  row_number() OVER (PARTITION BY qid ORDER BY w DESC, term) AS rnk
@@ -731,7 +732,7 @@ def _sql_ann_ivf_top5(n_centroids: int = 16, nprobe: int = 6, k: int = 5) -> str
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 ch AS (SELECT vec_id, v,
-       ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS h FROM e),
+       ('0x' || substr(md5('0:' || vec_id::VARCHAR), 1, 15))::BIGINT AS h FROM e),
 cents AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cidx, v AS cv,
           {fold_norm.format(a="v")} AS cnorm
           FROM ch ORDER BY h, vec_id LIMIT {n_centroids}),

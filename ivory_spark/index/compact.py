@@ -205,16 +205,24 @@ def _append_delta_inner(
     postings.write.mode("append").parquet(os.path.join(index_root, "postings"))
 
     # 7. swap the dictionary and persist properties (last: readers that
-    #    see the old properties read a consistent old index)
+    #    see the old properties read a consistent old index). The old
+    #    dictionary is RENAMED aside, not deleted, until after the
+    #    properties commit — every crash window leaves either the old or
+    #    the new dictionary recoverable (repair_partial_append decides by
+    #    comparing the live dictionary's row count to properties'
+    #    n_terms).
     import shutil
 
-    final_dict = dict_path
-    shutil.rmtree(final_dict)
-    os.rename(tmp_dict, final_dict)
+    old_dict = dict_path + "_old"
+    if os.path.exists(old_dict):
+        shutil.rmtree(old_dict)
+    os.rename(dict_path, old_dict)
+    os.rename(tmp_dict, dict_path)
     tmp = props_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(props, f, indent=2)
     os.replace(tmp, props_path)
+    shutil.rmtree(old_dict)
     run.metrics.update(
         n_docs_added=int(n_new),
         n_new_terms=int(n_new_terms),
@@ -237,9 +245,38 @@ def repair_partial_append(spark: SparkSession, index_root: str) -> dict:
     n_docs = props["n_docs"]
     import shutil
 
-    leftover = os.path.join(index_root, "dictionary_tmp")
-    if os.path.exists(leftover):
-        shutil.rmtree(leftover)
+    # dictionary: if a crash interrupted the swap, dictionary_old holds
+    # the pre-append copy. Keep whichever version matches the committed
+    # properties (current count == n_terms → the commit happened; else
+    # restore the old copy, consistent with the row pruning below).
+    dict_path = os.path.join(index_root, "dictionary")
+    old_dict = dict_path + "_old"
+    if os.path.exists(old_dict):
+        cur_ok = (
+            os.path.exists(dict_path)
+            and spark.read.parquet(dict_path).count() == props["n_terms"]
+        )
+        if cur_ok:
+            shutil.rmtree(old_dict)
+        else:
+            if os.path.exists(dict_path):
+                shutil.rmtree(dict_path)
+            os.rename(old_dict, dict_path)
+    # postings: a *_old left by refresh_bounds — any complete directory
+    # is score-equivalent (refresh changes bounds only), so the live one
+    # wins and the leftover is dropped; if the live one is missing the
+    # rename itself crashed, restore the old copy.
+    postings_path = os.path.join(index_root, "postings")
+    old_post = postings_path + "_old"
+    if os.path.exists(old_post):
+        if os.path.exists(postings_path):
+            shutil.rmtree(old_post)
+        else:
+            os.rename(old_post, postings_path)
+    for leftover in ("dictionary_tmp", "postings_tmp"):
+        lp = os.path.join(index_root, leftover)
+        if os.path.exists(lp):
+            shutil.rmtree(lp)
     for name, col in (("docmap", "docno"), ("tdf", "docno"),
                       ("doclens", "docno"), ("postings", "first_docno")):
         path = os.path.join(index_root, name)
@@ -308,8 +345,15 @@ def refresh_bounds(spark: SparkSession, index_root: str) -> dict:
     refreshed.write.mode("overwrite").parquet(tmp_path)
     import shutil
 
-    shutil.rmtree(postings_path)
+    # rename the live artifact aside instead of deleting it: every crash
+    # window leaves a complete postings directory for
+    # repair_partial_append to restore
+    old_path = postings_path + "_old"
+    if os.path.exists(old_path):
+        shutil.rmtree(old_path)
+    os.rename(postings_path, old_path)
     os.rename(tmp_path, postings_path)
+    shutil.rmtree(old_path)
     props["bounds_stale"] = False
     tmp = props_path + ".tmp"
     with open(tmp, "w") as f:

@@ -53,6 +53,18 @@ class Index:
 def open_index(spark: SparkSession, index_root: str) -> Index:
     with open(os.path.join(index_root, "properties.json")) as f:
         props = json.load(f)
+    from ivory_spark.index import codec
+
+    stored = props.get("format_version")
+    if stored != codec.FORMAT_VERSION:
+        # the postings codec is versioned; decoding a different blob
+        # layout would produce garbage, not an error — refuse up front
+        raise ValueError(
+            f"index at {index_root} has postings format_version={stored}, "
+            f"this build reads {codec.FORMAT_VERSION}; rebuild the index "
+            "(build stages re-run automatically: the codec version is in "
+            "the stage fingerprint)"
+        )
     return Index(
         root=index_root,
         properties=props,

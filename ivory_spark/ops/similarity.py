@@ -193,9 +193,9 @@ def ivf_centroids(
     """Deterministic centroid sample: the n vectors whose md5(id) ranks
     lowest (ties by id). Returns [(centroid_idx, vector)] — small, meant
     to be broadcast as literals."""
-    h = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    from ivory_spark.ops.dedup import portable_hash
+
+    h = portable_hash(F.col(id_col).cast("string"), 0)
     rows = (
         emb.select(F.col(id_col), F.col(vec_col), h.alias("_h"))
         .orderBy("_h", id_col)

@@ -142,7 +142,18 @@ def parse_model_xml(path_or_text: str, model_id: str | None = None):
         k = int(node.attrib.get("hits", node.attrib.get("k", "10")))
         if len(specs) == 1 and specs[0].kind == "term" and specs[0].weight == 1.0:
             # full independence — bag-of-words semantics, faster path
+            # (all five scoring functions supported there)
             return Model(scorer=specs[0].scorer, params=specs[0].params, k=k)
+        # multi-feature models run through the MRF clique kernels, which
+        # implement bm25 and dirichlet potentials — fail at parse time,
+        # not as an opaque worker exception at collect time
+        bad = sorted({f.scorer for f in specs} - {"bm25", "dirichlet"})
+        if bad:
+            raise ValueError(
+                f"scoreFunction(s) {bad} not supported in feature-based "
+                "(MRF) models; supported: BM25ScoringFunction, "
+                "DirichletScoringFunction"
+            )
         return MrfModel(dependence="sd", features=specs, k=k)
     attrs = dict(node.attrib)
     scorer = attrs.pop("score", attrs.pop("scorer", "bm25"))

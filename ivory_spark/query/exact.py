@@ -326,7 +326,12 @@ def scored_topk(
         # caller's action, which this lazy API cannot observe.
         prev = getattr(scored_topk, "_cached_postings", None)
         if prev is not None:
-            prev.unpersist()
+            try:
+                prev.unpersist()
+            except Exception:
+                # the previous DataFrame's session may be stopped (new
+                # SparkSession in the same process) — nothing to release
+                pass
         postings = postings.persist()
         scored_topk._cached_postings = postings
         matched = postings.join(F.broadcast(qt), "termid")

@@ -51,13 +51,22 @@ def lce_weights(
     feedback doc contributes exp(score(d)) · tf(t,d)/dl(d) — the
     score-weighted relevance model. records: (term, docno, tf, dl,
     doc_score float); float64 folds in (term, docno) order, same
-    normalization as rm_weights."""
+    normalization as rm_weights.
+
+    Scores are shifted by the per-query max before exponentiation (the
+    standard log-sum-exp stabilization): L1 normalization makes the
+    weights invariant to the shift, and exp stays finite for arbitrarily
+    large BM25 feedback scores (raw exp overflows float64 above ~709).
+    The DuckDB oracle applies the identical shift."""
     import math
 
+    if not records:
+        return []
+    smax = max(float(r[4]) for r in records)
     acc: dict[str, float] = {}
     for term, _docno, tf, dl, s in sorted(records):
         if dl > 0:
-            acc[term] = acc.get(term, 0.0) + math.exp(float(s)) * (tf / dl)
+            acc[term] = acc.get(term, 0.0) + math.exp(float(s) - smax) * (tf / dl)
     top = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:fb_terms]
     total = sum(w for _, w in top)
     if total <= 0:
@@ -182,14 +191,18 @@ def bigram_lce_weights(
 ) -> list[tuple[tuple[str, str], float]]:
     """records: (term_a, term_b, count, dl, doc_score) adjacency counts
     per feedback doc. w(b) = Σ_d exp(score_d) * count/dl — float64 folds
-    in sorted record order, L1-normalized over the kept concepts."""
+    in sorted record order, L1-normalized over the kept concepts (scores
+    shifted by the per-query max before exp, as in lce_weights)."""
     import math
 
+    if not records:
+        return []
+    smax = max(float(r[4]) for r in records)
     acc: dict[tuple[str, str], float] = {}
     for ta, tb, cnt, dl, s in sorted(records):
         if dl > 0:
             key = (ta, tb)
-            acc[key] = acc.get(key, 0.0) + math.exp(float(s)) * (cnt / dl)
+            acc[key] = acc.get(key, 0.0) + math.exp(float(s) - smax) * (cnt / dl)
     top = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:fb_concepts]
     total = sum(w for _, w in top)
     if total <= 0:

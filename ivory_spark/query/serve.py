@@ -39,6 +39,13 @@ class LocalSearcher:
 
         with open(os.path.join(index_root, "properties.json")) as f:
             self.props = json.load(f)
+        from ivory_spark.index import codec as _codec
+
+        if self.props.get("format_version") != _codec.FORMAT_VERSION:
+            raise ValueError(
+                f"index format_version={self.props.get('format_version')} "
+                f"!= codec {_codec.FORMAT_VERSION}; rebuild the index"
+            )
         if self.props.get("bounds_stale"):
             raise ValueError(
                 "index has stale WAND bounds after append_delta; run "

@@ -244,3 +244,24 @@ def test_stream_to_index_integration(spark, tiny_corpus, tmp_path):
         spark, idx, [{"qid": "s1", "query": "zzzuniqueterm"}], k=5
     ).collect()
     assert len(hits) == 1 and hits[0]["docno"] == n0 + 1
+
+
+def test_repair_restores_interrupted_dictionary_swap(spark, tmp_path):
+    """Crash window between the dictionary renames: only dictionary_old
+    (pre-append) exists — repair must restore it, not delete it."""
+    import shutil
+
+    from ivory_spark.index.compact import repair_partial_append
+    from ivory_spark.plans.validate import validate_index
+
+    base = generate_corpus(60, seed=37)
+    p = str(tmp_path / "c.parquet")
+    base.drop(columns=["sha256"], errors="ignore").to_parquet(p, index=False)
+    root = str(tmp_path / "idx")
+    build_index(spark, p, root, IndexConfig(salt_threshold=30, n_shards=4))
+    # simulate: dictionary renamed aside, new one never arrived
+    shutil.move(os.path.join(root, "dictionary"), os.path.join(root, "dictionary_old"))
+    repair_partial_append(spark, root)
+    idx = open_index(spark, root)
+    validate_index(spark, idx)
+    assert bm25_topk(spark, idx, QUERY_SET[:1], k=3).count() > 0

@@ -158,3 +158,22 @@ def test_xml_roundtrip_rank_identity(spark, pos_index):
     got_fd = _rows(run_batch(spark, pos_index, queries, fd))
     want_fd = _rows(mrf_topk(spark, pos_index, queries, fd))
     assert got_fd == want_fd and len(got_fd) > 0
+
+
+def test_unsupported_feature_scorer_fails_at_parse():
+    """jm/tfidf/f2exp in a MULTI-feature model must fail at parse time
+    (the MRF clique kernels implement bm25+dirichlet), not as an opaque
+    worker exception at collect time; the single-term full-independence
+    form still supports all five via the bag-of-words path."""
+    bad = SD_DIR_XML.replace(
+        'scoreFunction="ivory.smrf.model.score.DirichletScoringFunction" mu="1000.0"',
+        'scoreFunction="ivory.smrf.model.score.JelinekMercerScoringFunction"',
+    )
+    with pytest.raises(ValueError, match="not supported in feature-based"):
+        parse_model_xml(bad, model_id="dir-sd")
+    m = parse_model_xml(
+        '<model type="Feature" hits="7"><feature id="t" weight="1.0"'
+        ' cliqueSet="TermCliqueSet" potential="p" generator="TermExpressionGenerator"'
+        ' scoreFunction="ivory.smrf.model.score.JelinekMercerScoringFunction"/></model>'
+    )
+    assert isinstance(m, Model) and m.scorer == "jm" and m.params["lambda"] == 0.7

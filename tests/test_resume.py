@@ -55,3 +55,27 @@ def test_manifest_lineage_metrics(spark, tiny_corpus_path, tmp_path):
         assert m["wall_time_sec"] >= 0
     assert load_manifest(root, "docmap")["metrics"]["n_docs"] > 0
     assert load_manifest(root, "postings")["metrics"]["n_runs"] > 0
+
+
+def test_open_index_refuses_foreign_format_version(spark, tiny_corpus_path, tmp_path):
+    """A codec version bump must be refused at open time with a clear
+    error — decoding a different blob layout would produce garbage, not
+    an exception (VERDICT-style silent-corruption guard)."""
+    import json
+    import os
+
+    import pytest
+
+    from ivory_spark.index.build import IndexConfig, build_index
+    from ivory_spark.index.reader import open_index
+
+    root = str(tmp_path / "vchk")
+    build_index(spark, tiny_corpus_path, root, IndexConfig())
+    p = os.path.join(root, "properties.json")
+    with open(p) as f:
+        props = json.load(f)
+    props["format_version"] = 2  # simulate a pre-PForDelta index
+    with open(p, "w") as f:
+        json.dump(props, f)
+    with pytest.raises(ValueError, match="format_version"):
+        open_index(spark, root)
