@@ -175,6 +175,7 @@ def build_index(
             docmap, n_docs, pinned = build_docmap(spark, corpus, partitions)
             docmap.write.mode("overwrite").parquet(docmap_path)
             pinned.unpersist()
+            run.record_artifact(docmap_path)
             run.metrics["n_docs"] = n_docs
             run.metrics["partitions"] = partitions
 
@@ -204,6 +205,7 @@ def build_index(
             tdf.write.mode("overwrite").parquet(tdf_path)
             # count() over plain parquet is footer-metadata only — cheap
             run.metrics["n_rows"] = spark.read.parquet(tdf_path).count()
+            run.record_artifact(tdf_path)
 
     tdf = spark.read.parquet(tdf_path)
 
@@ -235,6 +237,7 @@ def build_index(
             )
             dictionary.drop("neg_df").write.mode("overwrite").parquet(dict_path)
             pinned.unpersist()
+            run.record_artifact(dict_path)
             run.metrics["n_terms"] = n_terms
 
     dictionary = spark.read.parquet(dict_path)
@@ -287,6 +290,7 @@ def build_index(
             )
             run.metrics["n_runs"] = spark.read.parquet(postings_path).count()
             run.metrics["partitions"] = partitions
+            run.record_artifact(postings_path)
 
     return props
 

@@ -64,6 +64,25 @@ class StageRun:
         self._t0 = time.monotonic()
         return self
 
+    def record_artifact(self, path: str) -> None:
+        """Per-partition output lineage: one entry per parquet part file
+        (name, bytes) plus totals — auditable evidence of what this stage
+        wrote (the north rule's per-partition lineage; at cluster scale
+        each part file is one task's output)."""
+        parts = []
+        if os.path.isdir(path):
+            for name in sorted(os.listdir(path)):
+                if name.startswith(("_", ".")):
+                    continue
+                parts.append(
+                    {"file": name, "bytes": os.path.getsize(os.path.join(path, name))}
+                )
+        self.metrics.setdefault("artifacts", {})[os.path.basename(path)] = {
+            "n_part_files": len(parts),
+            "bytes_total": sum(p["bytes"] for p in parts),
+            "parts": parts,
+        }
+
     def __exit__(self, exc_type, exc, tb) -> None:
         if exc_type is not None:
             return  # no manifest on failure → stage re-runs on resume
