@@ -209,6 +209,41 @@ def main() -> None:
     galago.doc_terms(docs, docno="doc_id", content="text").count()
     galago_sec = time.monotonic() - t0
 
+    # streaming ingest throughput: drain the documents table through the
+    # watermarked exact-dedup stream into a memory sink (availableNow)
+    import shutil as _sh
+    import tempfile as _tf
+
+    from ivory_spark.streaming.ingest import (
+        read_document_stream,
+        run_to_memory,
+        streaming_exact_dedup,
+    )
+
+    sdir = _tf.mkdtemp(prefix="ivory_bench_stream_")
+    try:
+        (
+            docs.limit(5000)
+            .selectExpr(
+                "source AS repo", "cast(doc_id as string) AS path",
+                "'c' AS commit", "lang", "text AS content",
+                "timestamp('2026-01-01') AS ingest_ts",
+            )
+            .coalesce(4)
+            .write.mode("overwrite")
+            .parquet(sdir + "/in")
+        )
+        n_stream = spark.read.parquet(sdir + "/in").count()
+        t0 = time.monotonic()
+        run_to_memory(
+            streaming_exact_dedup(read_document_stream(spark, sdir + "/in")),
+            "bench_stream",
+        )
+        stream_sec = time.monotonic() - t0
+        stream_docs_per_sec = round(n_stream / stream_sec, 1)
+    finally:
+        _sh.rmtree(sdir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "index-build + BM25 top-10 + pipeline ops wall time",
@@ -240,6 +275,7 @@ def main() -> None:
         "mrf_sd_batch10_sec": sd_sec,
         "mrf_fd_batch5_sec": fd_sec,
         "galago_en_docs_per_sec": round(ndocs_nl / galago_sec, 1),
+        "streaming_dedup_docs_per_sec": stream_docs_per_sec,
     }
     print(json.dumps(out))
 
