@@ -230,6 +230,23 @@ def _engine_sd_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round4(mrf_topk(spark, index, IR.GATE_QUERIES, MrfModel(dependence="sd")))
 
 
+def _engine_cascade_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage cascade (K5): WAND BM25 stage 1 keeps the top 20, the
+    SD MRF reranks only those survivors — the CascadeEval-shaped path
+    with a DuckDB twin (float32 BM25 stage-1 emulation restricting the
+    SD oracle's candidate set)."""
+    from ivory_spark.query.cascade import cascade_topk
+    from ivory_spark.query.mrf import MrfModel
+
+    index = _engine_index(spark, sf_dir, positional=True)
+    return _round4(
+        cascade_topk(
+            spark, index, IR.GATE_QUERIES, stage1_k=20,
+            model=MrfModel(dependence="sd", k=10),
+        )
+    )
+
+
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exploded (media_id, kind, n_bytes, dim, feature) — scalar rows so
     the gate's sorted compare works; the features are sha256-derived and
@@ -477,8 +494,11 @@ def _f32_bm25_clique(tf: str, df: str) -> str:
             + {tf}::FLOAT)))"""
 
 
-def _sql_engine_sd_top10(k: int = 10) -> str:
+def _sql_engine_sd_top10(k: int = 10, stage1_k: int | None = None) -> str:
     """DuckDB float32 oracle for the SD MRF engine path (query/mrf.py).
+    stage1_k: when set, restrict SD scoring to the float32-BM25
+    top-stage1_k docs per query — the cascade-ranking gate twin
+    (query/cascade.cascade_topk: WAND stage 1, SD rerank of survivors).
 
     Clique list (term cliques per token occurrence, #od1 / #uw8 adjacent
     pairs) is generated by the same build_cliques the engine uses and
@@ -512,8 +532,25 @@ def _sql_engine_sd_top10(k: int = 10) -> str:
                             f"{wf}::FLOAT, {c['window']})")
     cl_values = "cl(qid, cidx, kind, t1, t2, w, win) AS (VALUES " + ", ".join(rows) + ")"
     prox_df = "(egl.n // 100)"
+    stage1 = ""
+    stage1_join = ""
+    if stage1_k is not None:
+        stage1 = f""",
+{_sql_engine_query_values(IR.GATE_QUERIES)},
+contrib1 AS (
+  SELECT eq.qid, etf.docno, edict.termid, {_F32_BM25_CONTRIB} AS c
+  FROM eq JOIN edict USING (term) JOIN etf USING (term)
+  JOIN edl ON edl.docno = etf.docno CROSS JOIN egl),
+s1 AS (SELECT qid, docno,
+       list_reduce(list(c ORDER BY termid), (a, b) -> (a + b)::FLOAT) AS score
+       FROM contrib1 GROUP BY qid, docno),
+cand1 AS (SELECT qid, docno FROM (
+        SELECT qid, docno,
+               row_number() OVER (PARTITION BY qid ORDER BY score DESC, docno DESC) AS rnk
+        FROM s1) WHERE rnk <= {stage1_k})"""
+        stage1_join = "JOIN cand1 USING (qid, docno)"
     return f"""
-WITH {_ENGINE_CTES}, {cl_values},
+WITH {_ENGINE_CTES}, {cl_values}{stage1},
 epos AS (SELECT p.docno, p.term, p.pos FROM (
    SELECT docno, unnest(l) AS term, generate_subscripts(l, 1)::BIGINT AS pos
    FROM (SELECT docno, list_filter(regexp_extract_all(lower(content),
@@ -573,7 +610,7 @@ allc AS (SELECT * FROM tcon UNION ALL SELECT * FROM pcon),
 scored AS (
   SELECT qid, docno,
          list_reduce(list(c ORDER BY cidx), (a, b) -> (a + b)::FLOAT) AS score
-  FROM allc GROUP BY qid, docno),
+  FROM allc {stage1_join} GROUP BY qid, docno),
 top AS (SELECT qid, docno, score,
         row_number() OVER (PARTITION BY qid ORDER BY score DESC, docno DESC)::INT AS rank
         FROM scored)
@@ -800,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_tfidf_top10": lambda s, d: _engine_scored(s, d, "tfidf"),
         "engine_f2exp_top10": lambda s, d: _engine_scored(s, d, "f2exp"),
         "engine_sd_top10": _engine_sd_top10,
+        "engine_cascade_top10": _engine_cascade_top10,
         "engine_prf_top10": _engine_prf_top10,
         "engine_lce_top10": _engine_lce_top10,
         "multimodal_features": _multimodal_features,
@@ -950,6 +988,7 @@ FROM b""",
         "engine_tfidf_top10": _sql_engine_scored_top10("tfidf"),
         "engine_f2exp_top10": _sql_engine_scored_top10("f2exp"),
         "engine_sd_top10": _sql_engine_sd_top10(),
+        "engine_cascade_top10": _sql_engine_sd_top10(stage1_k=20),
         "ann_lsh_top5": _sql_ann_lsh_top5(),
         "ann_ivf_top5": _sql_ann_ivf_top5(),
         "engine_prf_top10": _sql_engine_prf_top10(),
