@@ -230,6 +230,40 @@ def _engine_sd_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round4(mrf_topk(spark, index, IR.GATE_QUERIES, MrfModel(dependence="sd")))
 
 
+_SD_RUNFILE_XML = """
+<model id="gate-sd" type="Feature" hits="10">
+  <feature id="termWt" weight="0.82"
+           cliqueSet="ivory.smrf.model.builder.TermCliqueSet"
+           potential="ivory.smrf.model.potential.QueryPotential"
+           generator="ivory.smrf.model.builder.TermExpressionGenerator"
+           scoreFunction="ivory.smrf.model.score.BM25ScoringFunction" />
+  <feature id="orderedWt" weight="0.09"
+           cliqueSet="ivory.smrf.model.builder.OrderedCliqueSet" dependence="sequential"
+           potential="ivory.smrf.model.potential.QueryPotential"
+           generator="ivory.smrf.model.builder.OrderedWindowExpressionGenerator" width="1"
+           scoreFunction="ivory.smrf.model.score.BM25ScoringFunction" />
+  <feature id="unorderedWt" weight="0.09"
+           cliqueSet="ivory.smrf.model.builder.OrderedCliqueSet" dependence="sequential"
+           potential="ivory.smrf.model.potential.QueryPotential"
+           generator="ivory.smrf.model.builder.UnorderedWindowExpressionGenerator" width="4"
+           scoreFunction="ivory.smrf.model.score.BM25ScoringFunction" />
+</model>
+"""
+
+
+def _engine_xml_sd_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The model-XML wiring gated end-to-end: a reference-shaped
+    type="Feature" run file (weights/width matching the default SD model)
+    parses via parse_model_xml and runs through run_batch — the result
+    must hash-match the SAME DuckDB oracle as the programmatic SD gate
+    (run.robust04.basic.xml replay, S8 + FeatureBasedMRFBuilder parity)."""
+    from ivory_spark.query.batch import parse_model_xml, run_batch
+
+    index = _engine_index(spark, sf_dir, positional=True)
+    model = parse_model_xml(_SD_RUNFILE_XML)
+    return _round4(run_batch(spark, index, IR.GATE_QUERIES, model))
+
+
 def _engine_cascade_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage cascade (K5): WAND BM25 stage 1 keeps the top 20, the
     SD MRF reranks only those survivors — the CascadeEval-shaped path
@@ -838,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_f2exp_top10": lambda s, d: _engine_scored(s, d, "f2exp"),
         "engine_sd_top10": _engine_sd_top10,
         "engine_cascade_top10": _engine_cascade_top10,
+        "engine_xml_sd_top10": _engine_xml_sd_top10,
         "engine_prf_top10": _engine_prf_top10,
         "engine_lce_top10": _engine_lce_top10,
         "multimodal_features": _multimodal_features,
@@ -989,6 +1024,7 @@ FROM b""",
         "engine_f2exp_top10": _sql_engine_scored_top10("f2exp"),
         "engine_sd_top10": _sql_engine_sd_top10(),
         "engine_cascade_top10": _sql_engine_sd_top10(stage1_k=20),
+        "engine_xml_sd_top10": _sql_engine_sd_top10(),
         "ann_lsh_top5": _sql_ann_lsh_top5(),
         "ann_ivf_top5": _sql_ann_ivf_top5(),
         "engine_prf_top10": _sql_engine_prf_top10(),
