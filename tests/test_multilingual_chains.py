@@ -213,3 +213,38 @@ def test_e2e_rank_identity(spark, tmp_path_factory, tok, docs, queries):
     assert_matches_oracle(got, golden)
     # stemming unified at least one inflected query with the corpus
     assert any(len(v) > 0 for v in golden.values())
+
+
+def test_stemmers_never_crash_on_odd_input():
+    """Every analysis chain must survive arbitrary junk tokens (empty,
+    single chars, all-accents, mixed scripts, very long) — a crash in a
+    worker tokenizer poisons a whole build task."""
+    import random
+    import string
+
+    from ivory_spark.functions.stemmer import porter_stem
+    from ivory_spark.functions.stemmer_de import german_stem
+    from ivory_spark.functions.tokenizer import TOKENIZERS
+
+    stemmers = [porter_stem, german_stem, czech_stem, spanish_stem,
+                french_stem, arabic_light]
+    rng = random.Random(13)
+    pools = [
+        "aeiouáéíóúüñçàâëêèïîôûùœžščřďťň",
+        string.ascii_lowercase,
+        "اءبتثجحخدذرزسشصضطظعغفقكلمنهوي",
+        "日本語中文한국어",
+        "'-_0123456789",
+    ]
+    samples = ["", "a", "á", "ě", "ß", "ي", "'", "x" * 300]
+    for _ in range(400):
+        pool = rng.choice(pools)
+        samples.append("".join(rng.choice(pool) for _ in range(rng.randint(1, 12))))
+    for stem in stemmers:
+        for s in samples:
+            out = stem(s)
+            assert isinstance(out, str)
+    for name, spec in TOKENIZERS.items():
+        for s in samples:
+            toks = spec.tokenize_py(s)
+            assert isinstance(toks, list), name
