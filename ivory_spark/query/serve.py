@@ -55,15 +55,19 @@ class LocalSearcher:
         self._tokenize = get_tokenizer(
             self.props.get("tokenizer", "code_v1")
         ).tokenize_py
-        # in-RAM dictionary: term -> (termid, df) — Ivory keeps exactly
+        # in-RAM dictionary: term -> (termid, df, cf) — Ivory keeps exactly
         # this resident (RetrievalEnvironment.java:66-67)
         dtab = pads.dataset(os.path.join(index_root, "dictionary")).to_table(
-            columns=["term", "termid", "df"]
+            columns=["term", "termid", "df", "cf"]
         )
         self._dict = dict(
             zip(
                 dtab["term"].to_pylist(),
-                zip(dtab["termid"].to_pylist(), dtab["df"].to_pylist()),
+                zip(
+                    dtab["termid"].to_pylist(),
+                    dtab["df"].to_pylist(),
+                    dtab["cf"].to_pylist(),
+                ),
             )
         )
         self._postings = pads.dataset(os.path.join(index_root, "postings"))
@@ -81,8 +85,11 @@ class LocalSearcher:
                 self._run_cache.move_to_end(t)
         missing = [t for t in termids if t not in self._run_cache]
         if missing:
+            cols = ["termid", "df", "blob"]
+            if self.props.get("positional"):
+                cols.append("pos_blob")
             tab = self._postings.to_table(
-                columns=["termid", "df", "blob"],
+                columns=cols,
                 filter=pads.field("termid").isin(missing),
             )
             pdf = tab.to_pandas()
@@ -112,6 +119,87 @@ class LocalSearcher:
             int(r.docno): f"{r.repo}/{r.path}@{r.commit}"
             for r in tab.itertuples(index=False)
         }
+
+    def search_sd(
+        self, query: str, k: int = 10, with_docid: bool = True, model=None
+    ) -> list[dict]:
+        """Warm SD/FD MRF serving over a positional index — the same
+        clique construction and batched scoring kernel as mrf_topk
+        (build_cliques + score_docs_batch), run in-process over the
+        pyarrow-read candidate runs; scores are float32 bit-identical to
+        the Spark MRF path and the numpy oracle."""
+        from ivory_spark.index import codec
+        from ivory_spark.query.mrf import (
+            MrfModel,
+            TermData,
+            build_cliques,
+            score_docs_batch,
+        )
+
+        p = self.props
+        if not p.get("positional"):
+            raise ValueError("search_sd requires a positional index")
+        model = model or MrfModel()
+        tokens = self._tokenize(query)
+        cliques = build_cliques(tokens, model)
+        stats = {}
+        termid_of = {}
+        for t in set(tokens):
+            meta = self._dict.get(t)
+            if meta is not None:
+                termid_of[t] = int(meta[0])
+                stats[t] = (int(meta[1]), int(meta[2]))
+        if not termid_of:
+            return []
+        term_by_id = {tid: t for t, tid in termid_of.items()}
+        runs = self._runs_for(sorted(term_by_id))
+        decoded = []  # (term, docnos, tfs, dls, flat_pos, indptr)
+        for row in runs.itertuples(index=False):
+            term = term_by_id.get(int(row.termid))
+            if term is None:
+                continue
+            d, tf, dl = codec.decode_run(bytes(row.blob))
+            flat, iptr = codec.decode_positions_flat(
+                bytes(row.pos_blob) if row.pos_blob is not None else b"", tf
+            )
+            decoded.append((term, d.astype(np.int64), tf.astype(np.int64),
+                            dl.astype(np.int64), flat, iptr))
+        if not decoded:
+            return []
+        cand = np.unique(np.concatenate([e[1] for e in decoded]))
+        m = len(cand)
+        dl_vec = np.zeros(m, dtype=np.int64)
+        by_term: dict[str, list] = {}
+        for e in decoded:
+            by_term.setdefault(e[0], []).append(e)
+        term_data: dict[str, TermData] = {}
+        for term, entries in by_term.items():
+            entries.sort(key=lambda e: int(e[1][0]))
+            d = np.concatenate([e[1] for e in entries])
+            tfs = np.concatenate([e[2] for e in entries])
+            dls = np.concatenate([e[3] for e in entries])
+            flat = np.concatenate([e[4] for e in entries])
+            iptr = np.concatenate(
+                ([0], np.cumsum(np.concatenate([np.diff(e[5]) for e in entries])))
+            )
+            rows_pos = np.searchsorted(cand, d)
+            dl_vec[rows_pos] = dls
+            tf_vec = np.zeros(m, dtype=np.int64)
+            tf_vec[rows_pos] = tfs
+            term_data[term] = TermData(tf_vec, rows_pos, iptr, flat)
+        scores = score_docs_batch(
+            cliques, term_data, dl_vec, stats,
+            p["n_docs"], p["avgdl"], p["collection_length"],
+        )
+        sel = np.lexsort((-cand, -scores.astype(np.float64)))[:k]
+        ids = self.docids([int(cand[i]) for i in sel]) if with_docid else {}
+        out = []
+        for rank, i in enumerate(sel, start=1):
+            row = {"rank": rank, "docno": int(cand[i]), "score": np.float32(scores[i])}
+            if with_docid:
+                row["docid"] = ids.get(int(cand[i]), "")
+            out.append(row)
+        return out
 
     def search(self, query: str, k: int = 10, with_docid: bool = True) -> list[dict]:
         """-> [{rank, docno[, docid], score}] — Ivory tie-break, scores
