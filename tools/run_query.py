@@ -60,15 +60,22 @@ def main() -> None:
     )
 
     if args.serve:
-        if args.model != "bm25":
-            raise SystemExit("--serve supports bm25 only")
+        if args.model not in ("bm25", "sd", "fd"):
+            raise SystemExit("--serve supports bm25, sd and fd")
         from ivory_spark.query.serve import LocalSearcher
 
         searcher = LocalSearcher(args.index_root)
+        if args.model == "bm25":
+            run = lambda q: searcher.search(q, k=args.k)
+        else:
+            from ivory_spark.query.mrf import MrfModel
+
+            model = MrfModel(dependence=args.model, k=args.k)
+            run = lambda q: searcher.search_sd(q, k=args.k, model=model)
         rows = [
             {"qid": q["qid"], "rank": r["rank"], "docid": r["docid"], "score": r["score"]}
             for q in queries
-            for r in searcher.search(q["query"], k=args.k)
+            for r in run(q["query"])
         ]
         if args.output:
             from ivory_spark.query.batch import write_trec_lines
