@@ -5,14 +5,14 @@ Plays the role of Ivory's compressed postings lists
 (ivory/core/data/index/PostingsListDocSortedPositional.java:92-181 —
 Golomb/gamma bit coding) and of BloomIR's block-compressed postings
 (ivory/bloomir/data/CompressedPostings.java:20-174 — 128-entry PForDelta
-blocks with block-aligned random access). v3 stores each block's d-gaps
+blocks with block-aligned random access). v3+ stores each block's d-gaps
 in actual PForDelta (bit width chosen per block, overflowers patched via
 an exception list — see pfor_encode), matching the reference scheme;
 tf/doclen sections stay byte-aligned varint (their value range makes
 bit-packing a wash, and varint is vectorization-friendly). Retrieval
 scores do not depend on the storage codec.
 
-Blob layout (little-endian, FORMAT_VERSION 2 — mirrors _HDR/_DIR below):
+Blob layout (little-endian, FORMAT_VERSION 4 — mirrors _HDR/_DIR below):
   header : uint32 n_postings, uint32 n_blocks, uint32 block_size
            (block_size is adaptive per run, see _block_size_for)
   dir    : n_blocks x (uint64 first_docno, uint64 last_docno,
@@ -44,7 +44,7 @@ import numpy as np
 
 BLOCK = 128
 MIN_BLOCK = 8
-FORMAT_VERSION = 3  # v3: PForDelta d-gap sections (v2: block_size + first_docno)
+FORMAT_VERSION = 4  # v4: pfor varint-sentinel blocks (v3: PForDelta d-gaps)
 
 _HDR = np.dtype([("n_postings", "<u4"), ("n_blocks", "<u4"), ("block_size", "<u4")])
 
@@ -132,19 +132,33 @@ def _bitlen(v: np.ndarray) -> np.ndarray:
     return bl
 
 
+_PFOR_VARINT = 0xFF  # width sentinel: section body is a plain varint stream
+
+
 def pfor_encode(values: np.ndarray) -> bytes:
-    """Encode <=256 non-negative uint64 values as one PForDelta section,
-    choosing the bit width that minimizes the section size over the
-    distinct bit lengths present (the NewPFD-style exception trade-off)."""
+    """Encode <=256 non-negative uint64 values as one PForDelta section.
+
+    Bit width candidates are the ~90th-percentile and max bit lengths
+    (the NewPFD exception trade-off); blocks below 32 values skip the
+    search entirely and use the byte-aligned varint sentinel (width
+    0xFF) — for tiny blocks the bit-packing search costs more encode
+    time than it saves in bytes, and adaptive block sizing gives sparse
+    runs many tiny blocks. The sentinel also wins whenever varint is
+    simply smaller."""
     v = np.asarray(values, dtype=np.uint64)
     n = v.size
     if n == 0:
         return bytes([0, 0])
     if n > 256:
         raise ValueError("pfor section limited to 256 values (one block)")
+    varint_payload = varint_encode(v).tobytes()
+    if n < 32:
+        return bytes([_PFOR_VARINT, 0]) + varint_payload
     bl = _bitlen(v)
+    bl_sorted = np.sort(bl)
+    candidates = {int(bl_sorted[(n * 9) // 10]), int(bl_sorted[-1])}
     best = None
-    for b in sorted(set(bl.tolist()) | {int(bl.max())}):
+    for b in sorted(candidates):
         exc = bl > b
         n_exc = int(exc.sum())
         if n_exc > 255:
@@ -153,6 +167,8 @@ def pfor_encode(values: np.ndarray) -> bytes:
         size = 2 + (n * b + 7) // 8 + n_exc + varint_encode(highs).nbytes
         if best is None or size < best[0]:
             best = (size, b, exc)
+    if best is None or best[0] >= 2 + len(varint_payload):
+        return bytes([_PFOR_VARINT, 0]) + varint_payload
     _, b, exc = best
     if b:
         mask = (np.uint64(1) << np.uint64(b)) - np.uint64(1) if b < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -174,6 +190,11 @@ def pfor_decode(buf: np.ndarray, n: int) -> tuple[np.ndarray, int]:
     if n == 0:
         return np.empty(0, dtype=np.uint64), 2
     b, n_exc = int(buf[0]), int(buf[1])
+    if b == _PFOR_VARINT:
+        rest = buf[2:]
+        last = np.nonzero((rest & 0x80) == 0)[0]
+        end = int(last[n - 1]) + 1
+        return varint_decode(rest[:end]), 2 + end
     nbytes = (n * b + 7) // 8
     off = 2
     if b:
