@@ -211,7 +211,6 @@ def main() -> None:
 
     # streaming ingest throughput: drain the documents table through the
     # watermarked exact-dedup stream into a memory sink (availableNow)
-    import shutil as _sh
     import tempfile as _tf
 
     from ivory_spark.streaming.ingest import (
@@ -242,7 +241,7 @@ def main() -> None:
         stream_sec = time.monotonic() - t0
         stream_docs_per_sec = round(n_stream / stream_sec, 1)
     finally:
-        _sh.rmtree(sdir, ignore_errors=True)
+        shutil.rmtree(sdir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     out = {

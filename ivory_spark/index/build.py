@@ -211,13 +211,14 @@ def build_index(
 
     # ---- stage: doclens --------------------------------------------------
     if not stage_is_valid(index_root, "doclens", fp, [doclens_path]):
-        with StageRun(index_root, "doclens", fp):
+        with StageRun(index_root, "doclens", fp) as run:
             dls = tdf.groupBy("docno").agg(F.first("dl").alias("doclen"))
             # docs with zero kept tokens still get a row (doclen 0)
             all_docs = docmap.select("docno").join(dls, "docno", "left").fillna(
                 {"doclen": 0}
             )
             all_docs.write.mode("overwrite").parquet(doclens_path)
+            run.record_artifact(doclens_path)
 
     # ---- stage: dictionary (df/cf stats + termid assignment) -------------
     if not stage_is_valid(index_root, "dictionary", fp, [dict_path]):

@@ -513,6 +513,50 @@ def score_docs_batch(
     return acc
 
 
+def assemble_term_data(
+    decoded: list, cand: np.ndarray
+) -> tuple[dict[str, TermData], np.ndarray]:
+    """Build per-term CSR TermData over the candidate-doc universe from
+    decoded run entries (term, docnos, tfs, dls, flat_pos, indptr).
+
+    SHARED by the mrf_topk Spark kernel and serve.LocalSearcher.search_sd
+    — the float32 rank-identity invariant requires every scorer path to
+    assemble identically (CLAUDE.md). Salted builds emit several
+    docno-disjoint runs per term: they are ordered by first docno and
+    concatenated into one CSR; docs outside `cand` are masked out.
+    Returns (term_data, dl_vec)."""
+    m = len(cand)
+    dl_vec = np.zeros(m, dtype=np.int64)
+    by_term: dict[str, list] = {}
+    for entry in decoded:
+        if len(entry[1]) == 0:
+            continue  # zero-posting run: nothing to contribute
+        by_term.setdefault(entry[0], []).append(entry)
+    term_data: dict[str, TermData] = {}
+    for term, runs in by_term.items():
+        runs.sort(key=lambda e: int(e[1][0]))
+        d = np.concatenate([e[1] for e in runs])
+        tfs_m = np.concatenate([e[2] for e in runs])
+        dls_m = np.concatenate([e[3] for e in runs])
+        fvals = np.concatenate([e[4] for e in runs])
+        lens = np.concatenate([np.diff(e[5]) for e in runs])
+        pos = np.searchsorted(cand, d)
+        keep = (pos < m) & (cand[np.minimum(pos, m - 1)] == d)
+        doc_rows = pos[keep]
+        dl_vec[doc_rows] = dls_m[keep]
+        tf_vec = np.zeros(m, dtype=np.int64)
+        tf_vec[doc_rows] = tfs_m[keep]
+        iptr = np.concatenate(([0], np.cumsum(lens)))
+        if keep.all():
+            flat_k, iptr_k = fvals, iptr
+        else:
+            rows = np.nonzero(keep)[0]
+            flat_k, lens_k = _gather_csr(fvals, iptr, rows)
+            iptr_k = np.concatenate(([0], np.cumsum(lens_k)))
+        term_data[term] = TermData(tf_vec, doc_rows, iptr_k, flat_k)
+    return term_data, dl_vec
+
+
 # ---------------------------------------------------------------------------
 # Spark path
 # ---------------------------------------------------------------------------
@@ -643,35 +687,7 @@ def mrf_topk(
             return pd.DataFrame(columns=["qid", "docno", "score"]).astype(
                 {"qid": str, "docno": np.int64, "score": np.float32}
             )
-        m = len(cand)
-        dl_vec = np.zeros(m, dtype=np.int64)
-        # salted builds emit several docno-disjoint runs per term: order
-        # them by first docno and concatenate into one CSR per term
-        by_term: dict[str, list] = {}
-        for entry in decoded:
-            by_term.setdefault(entry[0], []).append(entry)
-        term_data: dict[str, TermData] = {}
-        for term, runs in by_term.items():
-            runs.sort(key=lambda e: int(e[1][0]))
-            d = np.concatenate([e[1] for e in runs])
-            tfs_m = np.concatenate([e[2] for e in runs])
-            dls_m = np.concatenate([e[3] for e in runs])
-            fvals = np.concatenate([e[4] for e in runs])
-            lens = np.concatenate([np.diff(e[5]) for e in runs])
-            pos = np.searchsorted(cand, d)
-            keep = (pos < m) & (cand[np.minimum(pos, m - 1)] == d)
-            doc_rows = pos[keep]
-            dl_vec[doc_rows] = dls_m[keep]
-            tf_vec = np.zeros(m, dtype=np.int64)
-            tf_vec[doc_rows] = tfs_m[keep]
-            iptr = np.concatenate(([0], np.cumsum(lens)))
-            if keep.all():
-                flat_k, iptr_k = fvals, iptr
-            else:
-                rows = np.nonzero(keep)[0]
-                flat_k, lens_k = _gather_csr(fvals, iptr, rows)
-                iptr_k = np.concatenate(([0], np.cumsum(lens_k)))
-            term_data[term] = TermData(tf_vec, doc_rows, iptr_k, flat_k)
+        term_data, dl_vec = assemble_term_data(decoded, cand)
         scores = score_docs_batch(
             cliques, term_data, dl_vec, stats, n_docs, avgdl, clen
         )

@@ -6,9 +6,10 @@ host) across a query batch; an ad-hoc single query pays it in full
 tier: a long-lived process loads the dictionary once, reads only the
 candidate postings runs per query through pyarrow (the same termid
 row-group pruning the Spark scan gets), keeps a postings LRU, and runs
-the SAME block-max WAND kernel (query/wand._score_group) in-process —
-so served scores are bit-identical to the Spark exact path, WAND path
-and numpy oracle.
+the SAME kernels in-process — block-max WAND (query/wand._score_group)
+for BM25, build_cliques + score_docs_batch (query/mrf) for SD/FD — so
+served scores are bit-identical to the Spark exact path, WAND path,
+MRF path and numpy oracle.
 
 This is the analogue of Ivory's long-lived broker + retrieval-server
 deployment (docs/clue.html:164-180 — partition servers hold the index
@@ -72,34 +73,37 @@ class LocalSearcher:
         )
         self._postings = pads.dataset(os.path.join(index_root, "postings"))
         self._docmap = pads.dataset(os.path.join(index_root, "docmap"))
+        # two LRUs: BM25 queries cache (termid, df, blob) only; SD/FD
+        # queries cache blob + pos_blob (the largest column) separately,
+        # so plain BM25 serving never reads or pins position bytes
         self._run_cache: OrderedDict[int, pd.DataFrame] = OrderedDict()
+        self._run_cache_pos: OrderedDict[int, pd.DataFrame] = OrderedDict()
         self._cache_runs = cache_runs
 
-    def _runs_for(self, termids: list[int]) -> pd.DataFrame:
+    def _runs_for(self, termids: list[int], positions: bool = False) -> pd.DataFrame:
         import pyarrow.dataset as pads
 
+        cache = self._run_cache_pos if positions else self._run_cache
         # touch cached hits FIRST so eviction below can never drop a term
         # the current query needs (would silently corrupt scores)
         for t in termids:
-            if t in self._run_cache:
-                self._run_cache.move_to_end(t)
-        missing = [t for t in termids if t not in self._run_cache]
+            if t in cache:
+                cache.move_to_end(t)
+        missing = [t for t in termids if t not in cache]
         if missing:
-            cols = ["termid", "df", "blob"]
-            if self.props.get("positional"):
-                cols.append("pos_blob")
+            cols = ["termid", "df", "blob"] + (["pos_blob"] if positions else [])
             tab = self._postings.to_table(
                 columns=cols,
                 filter=pads.field("termid").isin(missing),
             )
             pdf = tab.to_pandas()
             for tid, grp in pdf.groupby("termid"):
-                self._run_cache[int(tid)] = grp.reset_index(drop=True)
-                self._run_cache.move_to_end(int(tid))
+                cache[int(tid)] = grp.reset_index(drop=True)
+                cache.move_to_end(int(tid))
             cap = max(self._cache_runs, len(termids))
-            while len(self._run_cache) > cap:
-                self._run_cache.popitem(last=False)
-        parts = [self._run_cache[t] for t in termids if t in self._run_cache]
+            while len(cache) > cap:
+                cache.popitem(last=False)
+        parts = [cache[t] for t in termids if t in cache]
         return (
             pd.concat(parts, ignore_index=True)
             if parts
@@ -131,7 +135,7 @@ class LocalSearcher:
         from ivory_spark.index import codec
         from ivory_spark.query.mrf import (
             MrfModel,
-            TermData,
+            assemble_term_data,
             build_cliques,
             score_docs_batch,
         )
@@ -152,7 +156,7 @@ class LocalSearcher:
         if not termid_of:
             return []
         term_by_id = {tid: t for t, tid in termid_of.items()}
-        runs = self._runs_for(sorted(term_by_id))
+        runs = self._runs_for(sorted(term_by_id), positions=True)
         decoded = []  # (term, docnos, tfs, dls, flat_pos, indptr)
         for row in runs.itertuples(index=False):
             term = term_by_id.get(int(row.termid))
@@ -167,26 +171,7 @@ class LocalSearcher:
         if not decoded:
             return []
         cand = np.unique(np.concatenate([e[1] for e in decoded]))
-        m = len(cand)
-        dl_vec = np.zeros(m, dtype=np.int64)
-        by_term: dict[str, list] = {}
-        for e in decoded:
-            by_term.setdefault(e[0], []).append(e)
-        term_data: dict[str, TermData] = {}
-        for term, entries in by_term.items():
-            entries.sort(key=lambda e: int(e[1][0]))
-            d = np.concatenate([e[1] for e in entries])
-            tfs = np.concatenate([e[2] for e in entries])
-            dls = np.concatenate([e[3] for e in entries])
-            flat = np.concatenate([e[4] for e in entries])
-            iptr = np.concatenate(
-                ([0], np.cumsum(np.concatenate([np.diff(e[5]) for e in entries])))
-            )
-            rows_pos = np.searchsorted(cand, d)
-            dl_vec[rows_pos] = dls
-            tf_vec = np.zeros(m, dtype=np.int64)
-            tf_vec[rows_pos] = tfs
-            term_data[term] = TermData(tf_vec, rows_pos, iptr, flat)
+        term_data, dl_vec = assemble_term_data(decoded, cand)
         scores = score_docs_batch(
             cliques, term_data, dl_vec, stats,
             p["n_docs"], p["avgdl"], p["collection_length"],

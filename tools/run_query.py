@@ -46,8 +46,8 @@ def main() -> None:
     p.add_argument(
         "--serve",
         action="store_true",
-        help="warm serving mode: no Spark, driver-local WAND kernel "
-        "(bm25 only; bit-identical scores, ~ms latency)",
+        help="warm serving mode: no Spark, driver-local kernels "
+        "(bm25/sd/fd; bit-identical scores, ~ms latency)",
     )
     args = p.parse_args()
 
