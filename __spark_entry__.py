@@ -72,7 +72,10 @@ def _sql_minhash_sigs() -> str:
     return f"WITH {TOKS}, {_DW} SELECT doc_id, {cols} FROM dw GROUP BY doc_id"
 
 
-def _sql_minhash_pairs(threshold: float = 0.8) -> str:
+def _sql_minhash_pairs_ctes(threshold: float = 0.8) -> str:
+    """CTE chain ending in vpairs(doc_a, doc_b, jaccard) — the verified
+    minhash near-dup pairs, shared by the pairs gate and the clusters
+    gate (which closes the pairs into connected components)."""
     sig_cols = ", ".join(
         f"min(('0x' || substr(md5('{j}:' || term), 1, 15))::BIGINT) AS m{j}"
         for j in range(_MINHASH_N)
@@ -83,8 +86,7 @@ def _sql_minhash_pairs(threshold: float = 0.8) -> str:
         + " AS bkey FROM sigs"
         for b in range(_MINHASH_N // _MINHASH_BAND)
     )
-    return f"""
-WITH {TOKS}, {_DW},
+    return f"""{TOKS}, {_DW},
 sigs AS (SELECT doc_id, {sig_cols} FROM dw GROUP BY doc_id),
 bands AS ({band_selects}),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -94,14 +96,40 @@ nw AS (SELECT doc_id, count(*) AS n FROM dw GROUP BY doc_id),
 iw AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
        FROM cand c JOIN dw wa ON wa.doc_id = c.doc_a
        JOIN dw wb ON wb.doc_id = c.doc_b AND wb.term = wa.term
-       GROUP BY c.doc_a, c.doc_b)
-SELECT c.doc_a, c.doc_b,
+       GROUP BY c.doc_a, c.doc_b),
+vpairs AS (SELECT c.doc_a, c.doc_b,
        round(coalesce(iw.inter, 0) / (na.n + nb.n - coalesce(iw.inter, 0)), 6) AS jaccard
 FROM cand c
 LEFT JOIN iw ON iw.doc_a = c.doc_a AND iw.doc_b = c.doc_b
 JOIN nw na ON na.doc_id = c.doc_a
 JOIN nw nb ON nb.doc_id = c.doc_b
-WHERE round(coalesce(iw.inter, 0) / (na.n + nb.n - coalesce(iw.inter, 0)), 6) >= {threshold}
+WHERE round(coalesce(iw.inter, 0) / (na.n + nb.n - coalesce(iw.inter, 0)), 6) >= {threshold})"""
+
+
+def _sql_minhash_pairs(threshold: float = 0.8) -> str:
+    return f"""
+WITH {_sql_minhash_pairs_ctes(threshold)}
+SELECT doc_a, doc_b, jaccard FROM vpairs
+"""
+
+
+def _sql_minhash_clusters(threshold: float = 0.8) -> str:
+    """Connected components over the verified pairs via a recursive
+    transitive closure; cluster_id = min doc id of the component — the
+    exact twin of ops/dedup.dedup_clusters' min-label fixpoint."""
+    return f"""
+WITH RECURSIVE {_sql_minhash_pairs_ctes(threshold)},
+cedges AS (SELECT doc_a AS a, doc_b AS b FROM vpairs
+           UNION SELECT doc_b, doc_a FROM vpairs),
+reach(a, b) AS (
+  SELECT a, b FROM cedges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN cedges e ON e.a = r.b
+),
+cnodes AS (SELECT DISTINCT a AS id FROM cedges)
+SELECT n.id AS doc_id, least(n.id, min(r.b))::BIGINT AS cluster_id
+FROM cnodes n JOIN reach r ON r.a = n.id
+GROUP BY n.id
 """
 
 
@@ -845,6 +873,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": lambda s, d: D.exact_dedup(_docs(s, d)),
         "dedup_minhash_sigs": lambda s, d: D.minhash_signatures(_docs(s, d)),
         "dedup_minhash_pairs": lambda s, d: D.minhash_dedup_pairs(_docs(s, d), threshold=0.8),
+        "dedup_minhash_clusters": lambda s, d: D.dedup_clusters(
+            D.minhash_dedup_pairs(_docs(s, d), threshold=0.8)
+        ),
         "dedup_simhash": lambda s, d: D.simhash(_docs(s, d)),
         "dedup_simhash_pairs": lambda s, d: D.simhash_pairs(D.simhash(_docs(s, d)), max_hamming=2),
         "dedup_ngram_jaccard": lambda s, d: D.ngram_jaccard_pairs(_docs(s, d), threshold=0.5),
@@ -938,6 +969,7 @@ GROUP BY doc_id HAVING count(DISTINCT term) = {len(IR.CONJ_TERMS)}""",
         "count(*)::INT AS n_dupes FROM documents GROUP BY sha256(text)",
         "dedup_minhash_sigs": _sql_minhash_sigs(),
         "dedup_minhash_pairs": _sql_minhash_pairs(0.8),
+        "dedup_minhash_clusters": _sql_minhash_clusters(0.8),
         "dedup_simhash": _sql_simhash_expr(),
         "dedup_simhash_pairs": f"""
 WITH {TOKS}, {TF},

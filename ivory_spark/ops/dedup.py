@@ -357,3 +357,66 @@ def embedding_neardup_pairs_lsh(
         .filter(F.col("cosine") >= threshold)
         .select("doc_a", "doc_b", "cosine")
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame, id_col: str = "doc_id", max_iter: int = 20
+) -> DataFrame:
+    """Connected components over near-dup pairs: (doc_id, cluster_id)
+    with cluster_id = the smallest doc id in the component — the step
+    that turns pairwise candidates into duplicate GROUPS (keep one row
+    per cluster_id to dedup).
+
+    Min-label propagation: every node starts labeled with itself; each
+    round takes the min of its own and its neighbors' labels; converges
+    in <= graph-diameter rounds (early-stops when a round changes
+    nothing). Each round is one keyed join + aggregate — the standard
+    Spark connected-components shape. Near-dup components are tiny and
+    star-like (diameter 2-4), so max_iter=20 is a generous bound; a
+    collection whose duplicate graph has longer chains should use the
+    large-star/small-star variant (same output contract).
+
+    Results persist per round and the previous round unpersists —
+    the lineage does not grow unboundedly with iterations."""
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = edges.unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).distinct().persist()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("label").alias("nl")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("nl"))
+            .withColumnRenamed("src", "id")
+        )
+        new_labels = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "id")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+    edges.unpersist()
+    return out

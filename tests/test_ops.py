@@ -305,3 +305,17 @@ def test_multimodal_resize_plumbing(spark, docs):
     again = {r["media_id"]: bytes(r["payload"])
              for r in resize_stub(media, target_w=100, target_h=50).collect()}
     assert all(bytes(r["payload"]) == again[r["media_id"]] for r in out)
+
+
+def test_dedup_clusters_connected_components(spark):
+    """Min-label propagation yields cluster_id = min doc id per connected
+    component, including a chain (diameter > 1) and separate components."""
+    from ivory_spark.ops.dedup import dedup_clusters
+
+    # components: chain 1-2-3-4, triangle 10-11-12 (+edge), pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
