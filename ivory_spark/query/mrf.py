@@ -244,6 +244,10 @@ class FeatureSpec:
     #   "full_contiguous"    — contiguous multi-term subsets
     #   "full_noncontiguous" — non-contiguous multi-term subsets
     cliques: str = "auto"
+    # parameter id from the model XML <feature id="...">; feature
+    # extraction groups clique potentials under this name
+    # (ltr/ExtractFeatures.java:190 featId = modelName + "-" + paramId)
+    name: str = ""
 
 
 @dataclass
