@@ -309,6 +309,159 @@ def _engine_cascade_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LTR_FEATURE_COLS = ("sdm-termWt", "sdm-orderedWt", "sdm-unorderedWt")
+
+
+def _ltr_qrels(n_docs: int) -> dict:
+    """Deterministic graded judgments both sides can derive from docno
+    alone: every 5th doc judged (docno % 5 == 1), grade = docno % 4."""
+    judged = {d: float(d % 4) for d in range(1, n_docs + 1, 5)}
+    return {q["qid"]: judged for q in IR.GATE_QUERIES}
+
+
+def _ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ltr feature extraction (ExtractFeatures parity): per judged doc,
+    the UNWEIGHTED per-spec clique potential sums of the SD model —
+    term / ordered-window / unordered-window columns — plus the grade.
+    Feature values are float32 ordered folds, so the DuckDB oracle
+    reproduces them bit-for-bit."""
+    from ivory_spark.query.features import extract_features
+    from ivory_spark.query.mrf import FeatureSpec, MrfModel
+
+    index = _engine_index(spark, sf_dir, positional=True)
+    model = MrfModel(
+        dependence="sd",
+        features=[
+            FeatureSpec("term", 0.82, name="termWt"),
+            FeatureSpec("od", 0.09, width=1, name="orderedWt"),
+            FeatureSpec("uw", 0.09, width=4, name="unorderedWt"),
+        ],
+    )
+    df = extract_features(
+        spark, index, IR.GATE_QUERIES, _ltr_qrels(index.properties["n_docs"]),
+        {"sdm": model},
+    )
+    cols = [F.col("qid"), F.col("docno"), F.col("grade").cast("double").alias("grade")]
+    cols += [
+        F.round(F.col(f"`{nm}`").cast("double"), 4).alias(nm)
+        for nm in _LTR_FEATURE_COLS
+    ]
+    return df.select(*cols)
+
+
+def _sql_ltr_features() -> str:
+    """DuckDB float32 oracle for _ltr_features. Clique construction is
+    DYNAMIC: extract_features drops OOV query tokens BEFORE building
+    cliques (ExtractFeatures.java:83-97 rebuilds the query from terms
+    with postings — adjacency is over the KEPT sequence), so the SQL
+    derives the kept token sequence by joining the raw token VALUES
+    against the corpus dictionary, re-indexes it, and forms term cliques
+    (cidx 0..k-1), od bigrams (k..2k-2) and uw bigrams (2k-1..3k-3) in
+    build_cliques' emission order. Window tf semantics and the
+    duplicate-token closed forms are the ones proven in
+    _sql_engine_sd_top10; per-spec values are UNWEIGHTED float32 folds
+    ordered by cidx (zero-contribution cliques drop out: +0.0f is exact
+    identity)."""
+    from ivory_spark.functions.tokenizer import tokenize_py
+
+    rows = []
+    for q in IR.GATE_QUERIES:
+        for i, t in enumerate(tokenize_py(q["query"])):
+            rows.append(f"('{q['qid']}', {i}, '{t}')")
+    qtok = "qtok(qid, idx, term) AS (VALUES " + ", ".join(rows) + ")"
+    prox_df = "(egl.n // 100)"
+    feat_cases = ", ".join(
+        f"""coalesce(max(CASE WHEN fid = {fid} THEN v END), 0.0::FLOAT) AS "{nm}" """
+        for fid, nm in enumerate(_LTR_FEATURE_COLS)
+    )
+    return f"""
+WITH {_ENGINE_CTES}, {qtok},
+judged AS (SELECT docno, (docno % 4)::DOUBLE AS grade FROM edocmap WHERE docno % 5 = 1),
+ktok AS (SELECT q.qid, q.term,
+         row_number() OVER (PARTITION BY q.qid ORDER BY q.idx)::BIGINT AS kidx
+         FROM qtok q JOIN edict USING (term)),
+kcnt AS (SELECT qid, count(*)::BIGINT AS k FROM ktok GROUP BY qid),
+clt AS (SELECT qid, kidx - 1 AS cidx, 0 AS fid, term FROM ktok),
+clp AS (SELECT a.qid, a.kidx, a.term AS t1, b.term AS t2
+        FROM ktok a JOIN ktok b ON b.qid = a.qid AND b.kidx = a.kidx + 1),
+clod AS (SELECT p.qid, c.k + p.kidx - 1 AS cidx, 1 AS fid,
+         CASE WHEN t1 = t2 THEN 'od_same' ELSE 'od' END AS kind, t1, t2, 1 AS win
+         FROM clp p JOIN kcnt c USING (qid)),
+cluw AS (SELECT p.qid, c.k + (c.k - 1) + p.kidx - 1 AS cidx, 2 AS fid,
+         CASE WHEN t1 = t2 THEN 'uw_same' ELSE 'uw' END AS kind, t1, t2, 8 AS win
+         FROM clp p JOIN kcnt c USING (qid)),
+cl AS (SELECT * FROM clod UNION ALL SELECT * FROM cluw),
+epos AS (SELECT p.docno, p.term, p.pos FROM (
+   SELECT docno, unnest(l) AS term, generate_subscripts(l, 1)::BIGINT AS pos
+   FROM (SELECT docno, list_filter(regexp_extract_all(lower(content),
+        '[a-z_][a-z0-9_]*|[0-9]+'), t -> length(t) <= 126) AS l FROM edocmap)
+ ) p JOIN etf ON etf.docno = p.docno AND etf.term = p.term),
+tcon AS (
+  SELECT clt.qid, etf.docno, clt.cidx, clt.fid,
+         {_f32_bm25_clique("etf.tf", "edict.df")} AS c
+  FROM clt JOIN edict ON edict.term = clt.term
+  JOIN etf ON etf.term = clt.term
+  JOIN judged ON judged.docno = etf.docno
+  JOIN edl ON edl.docno = etf.docno CROSS JOIN egl),
+odx AS (SELECT cl.qid, cl.cidx, cl.win, a.docno, a.pos AS pa, min(b.pos) AS mb
+        FROM cl JOIN epos a ON a.term = cl.t1
+        JOIN epos b ON b.docno = a.docno AND b.term = cl.t2 AND b.pos > a.pos
+        WHERE cl.kind = 'od'
+        GROUP BY cl.qid, cl.cidx, cl.win, a.docno, a.pos),
+odc AS (SELECT qid, cidx, docno, least(count(*), 32767)::BIGINT AS tf
+        FROM odx WHERE mb - pa <= win GROUP BY qid, cidx, docno),
+odsc AS (SELECT cl.qid, cl.cidx, e.docno, least(count(*), 32767)::BIGINT AS tf
+         FROM cl JOIN epos e ON e.term = cl.t1 WHERE cl.kind = 'od_same'
+         GROUP BY cl.qid, cl.cidx, e.docno),
+uwx AS (
+  SELECT DISTINCT cl.qid, cl.cidx, a.docno, a.pos
+  FROM cl JOIN epos a ON a.term = cl.t1
+  JOIN epos b ON b.docno = a.docno AND b.term = cl.t2
+       AND b.pos > a.pos AND b.pos - a.pos <= cl.win - 1
+  WHERE cl.kind = 'uw'
+  UNION ALL
+  SELECT DISTINCT cl.qid, cl.cidx, b.docno, b.pos
+  FROM cl JOIN epos b ON b.term = cl.t2
+  JOIN epos a ON a.docno = b.docno AND a.term = cl.t1
+       AND a.pos > b.pos AND a.pos - b.pos <= cl.win - 1
+  WHERE cl.kind = 'uw'),
+uwc AS (SELECT qid, cidx, docno, least(count(*), 32767)::BIGINT AS tf
+        FROM uwx GROUP BY qid, cidx, docno),
+uwsc AS (SELECT qid, cidx, docno, least(sum(tf), 32767)::BIGINT AS tf FROM (
+    SELECT cl.qid, cl.cidx, e.docno, count(*) AS tf
+    FROM cl JOIN epos e ON e.term = cl.t1 WHERE cl.kind = 'uw_same'
+    GROUP BY cl.qid, cl.cidx, e.docno
+    UNION ALL
+    SELECT cl.qid, cl.cidx, a.docno, count(DISTINCT a.pos) AS tf
+    FROM cl JOIN epos a ON a.term = cl.t1
+    JOIN epos b ON b.docno = a.docno AND b.term = cl.t1
+         AND b.pos > a.pos AND b.pos - a.pos <= cl.win - 1
+    WHERE cl.kind = 'uw_same'
+    GROUP BY cl.qid, cl.cidx, a.docno
+  ) GROUP BY qid, cidx, docno),
+prox AS (SELECT * FROM odc UNION ALL SELECT * FROM odsc
+         UNION ALL SELECT * FROM uwc UNION ALL SELECT * FROM uwsc),
+pcon AS (
+  SELECT p.qid, p.docno, p.cidx, cl.fid,
+         {_f32_bm25_clique("p.tf", prox_df)} AS c
+  FROM prox p JOIN cl ON cl.qid = p.qid AND cl.cidx = p.cidx
+  JOIN judged ON judged.docno = p.docno
+  JOIN edl ON edl.docno = p.docno CROSS JOIN egl),
+allc AS (SELECT * FROM tcon UNION ALL SELECT * FROM pcon),
+fold AS (SELECT qid, docno, fid,
+         list_reduce(list(c ORDER BY cidx), (a, b) -> (a + b)::FLOAT) AS v
+         FROM allc GROUP BY qid, docno, fid),
+grid AS (SELECT q.qid, j.docno, j.grade
+         FROM (SELECT DISTINCT qid FROM ktok) q CROSS JOIN judged j),
+pv AS (SELECT g.qid, g.docno, g.grade, {feat_cases}
+       FROM grid g LEFT JOIN fold f ON f.qid = g.qid AND f.docno = g.docno
+       GROUP BY g.qid, g.docno, g.grade)
+SELECT qid, docno, grade,
+       {", ".join(f'round("{nm}"::DOUBLE, 4) AS "{nm}"' for nm in _LTR_FEATURE_COLS)}
+FROM pv
+"""
+
+
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exploded (media_id, kind, n_bytes, dim, feature) — scalar rows so
     the gate's sorted compare works; the features are sha256-derived and
@@ -906,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_xml_sd_top10": _engine_xml_sd_top10,
         "engine_prf_top10": _engine_prf_top10,
         "engine_lce_top10": _engine_lce_top10,
+        "ltr_features": _ltr_features,
         "multimodal_features": _multimodal_features,
     }
 
@@ -1061,4 +1215,5 @@ FROM b""",
         "ann_ivf_top5": _sql_ann_ivf_top5(),
         "engine_prf_top10": _sql_engine_prf_top10(),
         "engine_lce_top10": _sql_engine_prf_top10(method="lce"),
+        "ltr_features": _sql_ltr_features(),
     }

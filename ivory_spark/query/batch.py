@@ -92,7 +92,9 @@ def _parse_feature(node):
         else:
             params[name] = raw if isinstance(default, str) else float(raw)
     if cs == "TermCliqueSet":
-        return FeatureSpec("term", weight, scorer=scorer, params=params)
+        return FeatureSpec(
+            "term", weight, scorer=scorer, params=params, name=a.get("id", "")
+        )
     kind = "od" if gen == "OrderedWindowExpressionGenerator" else "uw"
     width = int(a.get("width", "1" if kind == "od" else "4"))
     dependence = a.get("dependence", "sequential")
@@ -103,7 +105,8 @@ def _parse_feature(node):
     else:
         cliques = "full_noncontiguous"  # UnorderedCliqueSet full
     return FeatureSpec(
-        kind, weight, width=width, scorer=scorer, params=params, cliques=cliques
+        kind, weight, width=width, scorer=scorer, params=params, cliques=cliques,
+        name=a.get("id", ""),
     )
 
 

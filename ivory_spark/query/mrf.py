@@ -279,14 +279,17 @@ def _subsets_fd(n: int) -> list[tuple[list[int], bool]]:
 
 
 def build_cliques(tokens: list[str], model: MrfModel) -> list[dict]:
-    """Ordered clique list: [{kind, terms, weight, window, scorer, params}]."""
+    """Ordered clique list: [{kind, terms, weight, window, scorer, params,
+    fid}] — fid is the index of the FeatureSpec that generated the clique
+    (feature extraction groups potentials by it; scoring ignores it)."""
     cliques: list[dict] = []
-    for feat in model.features:
+    for fid, feat in enumerate(model.features):
         if feat.kind == "term":
             for t in tokens:  # one clique per occurrence — dupes multiply
                 cliques.append(
                     {"kind": "term", "terms": (t,), "weight": feat.weight,
-                     "window": 0, "scorer": feat.scorer, "params": feat.params}
+                     "window": 0, "scorer": feat.scorer, "params": feat.params,
+                     "fid": fid}
                 )
         elif feat.kind in ("od", "uw"):
             sel = feat.cliques
@@ -309,7 +312,8 @@ def build_cliques(tokens: list[str], model: MrfModel) -> list[dict]:
                 window = feat.width if feat.kind == "od" else len(g) * feat.width
                 cliques.append(
                     {"kind": feat.kind, "terms": tuple(g), "weight": feat.weight,
-                     "window": window, "scorer": feat.scorer, "params": feat.params}
+                     "window": window, "scorer": feat.scorer, "params": feat.params,
+                     "fid": fid}
                 )
         else:
             raise ValueError(feat.kind)
