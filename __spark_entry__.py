@@ -309,6 +309,131 @@ def _engine_cascade_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sqe_gate_queries() -> list[dict]:
+    """Structured (sqe) twins of the gate queries, one fixed shape that
+    exercises every operator: #combine[ #weight(0.7 t0, 0.3 t1),
+    t2..., phrase(t0 t1) ] — tf/df blending, plain leaves, an
+    ordered-window-2 phrase, and (g5) an OOV term inside the blend plus
+    an OOV phrase."""
+    from ivory_spark.functions.tokenizer import tokenize_py
+
+    out = []
+    for q in IR.GATE_QUERIES:
+        toks = tokenize_py(q["query"])
+        children = (
+            [{"#weight": [0.7, toks[0], 0.3, toks[1]]}]
+            + list(toks[2:])
+            + [" ".join(toks[:2])]
+        )
+        out.append({"qid": q["qid"], "query": {"#combine": children}})
+    return out
+
+
+def _engine_sqe_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIR structured-query retrieval (query/sqe.py): #weight blends
+    weighted tf/df BEFORE one fixed-parameter BM25 (the probabilistic
+    structured-query semantics, sqe/retrieval/PostingsReaderWrapper.java:
+    176-190), #combine sums child scores, phrases are ordered windows of
+    size 2 with default df."""
+    from ivory_spark.query.sqe import sqe_topk
+
+    index = _engine_index(spark, sf_dir, positional=True)
+    return _round4(sqe_topk(spark, index, _sqe_gate_queries(), k=10))
+
+
+def _sql_engine_sqe_top10(k: int = 10) -> str:
+    """DuckDB float32 oracle for _engine_sqe_top10. Per gate query the
+    children are (cidx 0) the #weight blend node, (1..) single-term
+    leaves, (last) the 2-term phrase. TfDfWeight.getScore is emulated
+    with Java's exact float grouping — ((k1+1)*tf) / (k1*((1-b) +
+    (b*dl)/avgdl) + tf) * idf with k1=0.5, b=0.3, avgdl = clen // n
+    (integer division), idf = float32(ln(((N - df) + 0.5)/(df + 0.5)))
+    on float32-blended fractional tf/df. Zero-score children drop out of
+    the child-ordered float32 fold (+0.0/-0.0 are fold identities).
+    Candidates = docs matching >= 1 leaf (blend terms, plain terms, or a
+    phrase window match)."""
+    from ivory_spark.functions.tokenizer import tokenize_py
+
+    wrows, trows, prows = [], [], []
+    for q in IR.GATE_QUERIES:
+        toks = tokenize_py(q["query"])
+        wrows.append(f"('{q['qid']}', 0, 0.7::FLOAT, '{toks[0]}')")
+        wrows.append(f"('{q['qid']}', 1, 0.3::FLOAT, '{toks[1]}')")
+        for i, t in enumerate(toks[2:]):
+            trows.append(f"('{q['qid']}', {i + 1}, '{t}')")
+        kind = "same" if toks[0] == toks[1] else "diff"
+        prows.append(
+            f"('{q['qid']}', {1 + len(toks[2:])}, '{toks[0]}', '{toks[1]}', '{kind}')"
+        )
+    wvals = "wch(qid, widx, w, term) AS (VALUES " + ", ".join(wrows) + ")"
+    tvals = (
+        "tch(qid, cidx, term) AS (VALUES " + ", ".join(trows) + ")"
+        if trows
+        else "tch(qid, cidx, term) AS (SELECT NULL, NULL, NULL WHERE FALSE)"
+    )
+    pvals = "pch(qid, cidx, t1, t2, kind) AS (VALUES " + ", ".join(prows) + ")"
+    avgdl = "((egl.clen // egl.n)::FLOAT)"
+    default_df = "((egl.n // 100)::FLOAT)"
+
+    def score(tf: str, df: str) -> str:
+        return f"""(((((0.5::FLOAT + 1.0::FLOAT) * {tf})
+      / ((0.5::FLOAT * ((1.0::FLOAT - 0.3::FLOAT)
+           + ((0.3::FLOAT * edl.dl::FLOAT) / {avgdl})))
+         + {tf}))
+      * (ln((((egl.n::FLOAT - {df}) + 0.5::FLOAT) / ({df} + 0.5::FLOAT))::DOUBLE)::FLOAT)))"""
+
+    return f"""
+WITH {_ENGINE_CTES}, {wvals}, {tvals}, {pvals},
+epos AS (SELECT p.docno, p.term, p.pos FROM (
+   SELECT docno, unnest(l) AS term, generate_subscripts(l, 1)::BIGINT AS pos
+   FROM (SELECT docno, list_filter(regexp_extract_all(lower(content),
+        '[a-z_][a-z0-9_]*|[0-9]+'), t -> length(t) <= 126) AS l FROM edocmap)
+ ) p JOIN etf ON etf.docno = p.docno AND etf.term = p.term),
+-- blended df per qid: float32 fold of w*df in child order, OOV df = 0
+wdf AS (SELECT qid, list_reduce(list((w * coalesce(edict.df, 0)::FLOAT)::FLOAT
+                                     ORDER BY widx), (a, b) -> (a + b)::FLOAT) AS dfb
+        FROM wch LEFT JOIN edict USING (term) GROUP BY qid),
+-- blended tf per (qid, docno): fold of w*tf over PRESENT terms (w*0 is identity)
+wtf AS (SELECT wch.qid, etf.docno,
+        list_reduce(list((wch.w * etf.tf::FLOAT)::FLOAT ORDER BY wch.widx),
+                    (a, b) -> (a + b)::FLOAT) AS tfb
+        FROM wch JOIN edict USING (term) JOIN etf USING (term)
+        GROUP BY wch.qid, etf.docno),
+wscore AS (SELECT w.qid, w.docno, 0 AS cidx, {score("w.tfb", "wdf.dfb")} AS c
+           FROM wtf w JOIN wdf USING (qid)
+           JOIN edl ON edl.docno = w.docno CROSS JOIN egl),
+tscore AS (SELECT tch.qid, etf.docno, tch.cidx,
+           {score("etf.tf::FLOAT", "edict.df::FLOAT")} AS c
+           FROM tch JOIN edict USING (term) JOIN etf USING (term)
+           JOIN edl ON edl.docno = etf.docno CROSS JOIN egl),
+-- phrase tf: ordered window 2; duplicate-token closed form od(t,t) = |P|
+podx AS (SELECT pch.qid, pch.cidx, a.docno, a.pos AS pa, min(b.pos) AS mb
+         FROM pch JOIN epos a ON a.term = pch.t1
+         JOIN epos b ON b.docno = a.docno AND b.term = pch.t2 AND b.pos > a.pos
+         WHERE pch.kind = 'diff'
+         GROUP BY pch.qid, pch.cidx, a.docno, a.pos),
+ptf AS (SELECT qid, cidx, docno, least(count(*), 32767)::BIGINT AS tf
+        FROM podx WHERE mb - pa <= 2 GROUP BY qid, cidx, docno
+        UNION ALL
+        SELECT pch.qid, pch.cidx, e.docno, least(count(*), 32767)::BIGINT AS tf
+        FROM pch JOIN epos e ON e.term = pch.t1 WHERE pch.kind = 'same'
+        GROUP BY pch.qid, pch.cidx, e.docno),
+pscore AS (SELECT p.qid, p.docno, p.cidx, {score("p.tf::FLOAT", default_df)} AS c
+           FROM ptf p JOIN edl ON edl.docno = p.docno CROSS JOIN egl),
+allc AS (SELECT * FROM wscore UNION ALL SELECT * FROM tscore
+         UNION ALL SELECT * FROM pscore),
+scored AS (SELECT qid, docno,
+           list_reduce(list(c ORDER BY cidx), (a, b) -> (a + b)::FLOAT) AS score
+           FROM allc GROUP BY qid, docno),
+top AS (SELECT qid, docno, score,
+        row_number() OVER (PARTITION BY qid ORDER BY score DESC, docno DESC)::INT AS rank
+        FROM scored)
+SELECT t.qid, t.rank, t.docno, {_ENGINE_DOCID} AS docid,
+       round(t.score::DOUBLE, 4) AS score
+FROM top t JOIN edocmap d USING (docno) WHERE t.rank <= {k}
+"""
+
+
 _LTR_FEATURE_COLS = ("sdm-termWt", "sdm-orderedWt", "sdm-unorderedWt")
 
 
@@ -1059,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_xml_sd_top10": _engine_xml_sd_top10,
         "engine_prf_top10": _engine_prf_top10,
         "engine_lce_top10": _engine_lce_top10,
+        "engine_sqe_top10": _engine_sqe_top10,
         "ltr_features": _ltr_features,
         "multimodal_features": _multimodal_features,
     }
@@ -1215,5 +1341,6 @@ FROM b""",
         "ann_ivf_top5": _sql_ann_ivf_top5(),
         "engine_prf_top10": _sql_engine_prf_top10(),
         "engine_lce_top10": _sql_engine_prf_top10(method="lce"),
+        "engine_sqe_top10": _sql_engine_sqe_top10(),
         "ltr_features": _sql_ltr_features(),
     }
