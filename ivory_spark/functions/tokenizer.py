@@ -491,6 +491,38 @@ def cjk_bigram_tokenize_py(content: str) -> list[str]:
     return [t for t in out if len(t) <= MAX_TOKEN_LEN]
 
 
+def zh_dict_tokenize_py(content: str) -> list[str]:
+    """Dictionary-segmented Chinese: CJK runs are segmented by greedy
+    forward maximum matching over the embedded lexicon (the documented
+    Stanford-segmenter substitution, functions/segment_zh.py; reference:
+    TokenizerFactory.java zh -> StanfordChineseTokenizer); latin/digit
+    runs tokenize as words, punctuation breaks runs — identical run
+    splitting to cjk_bigram, so only the CJK-run treatment differs."""
+    from ivory_spark.functions.segment_zh import segment_zh
+
+    if not content:
+        return []
+    out: list[str] = []
+    run: list[str] = []
+    buf: list[str] = []
+    for ch in content.lower():
+        if _is_cjk(ch):
+            if buf:
+                out.extend(_LATIN_RX.findall("".join(buf)))
+                buf.clear()
+            run.append(ch)
+        else:
+            if run:
+                out.extend(segment_zh("".join(run)))
+                run.clear()
+            buf.append(ch)
+    if run:
+        out.extend(segment_zh("".join(run)))
+    if buf:
+        out.extend(_LATIN_RX.findall("".join(buf)))
+    return [t for t in out if len(t) <= MAX_TOKEN_LEN]
+
+
 register_tokenizer(TokenizerSpec("code_v1", tokenize_py, doc_terms, doc_terms_positional))
 register_tokenizer(
     TokenizerSpec(
@@ -514,6 +546,14 @@ register_tokenizer(
         cjk_bigram_tokenize_py,
         _python_doc_terms(cjk_bigram_tokenize_py, positional=False),
         _python_doc_terms(cjk_bigram_tokenize_py, positional=True),
+    )
+)
+register_tokenizer(
+    TokenizerSpec(
+        "zh_dict",
+        zh_dict_tokenize_py,
+        _python_doc_terms(zh_dict_tokenize_py, positional=False),
+        _python_doc_terms(zh_dict_tokenize_py, positional=True),
     )
 )
 register_tokenizer(

@@ -93,18 +93,34 @@ def expand_queries(
     fb_terms: int = 10,
     alpha: float = 0.5,
     method: str = "rm",
+    flow: str = "driver",
 ) -> list[dict]:
     """-> weighted queries [{'qid', 'terms': [(term, weight)]}].
 
     method: "rm" (relevance-model mass, MRFExpander default) or "lce"
     (latent concept expansion — feedback docs weighted by exp(doc score),
-    UnigramLatentConceptExpander.java:159-198)."""
+    UnigramLatentConceptExpander.java:159-198).
+
+    flow: "driver" collects the feedback docs' term rows and computes
+    weights locally (docno-isin filter -> parquet row-group pruning —
+    right for interactive batch sizes); "joined" keeps the term mining
+    distributed — tdf joins the (qid, docno, score) feedback frame and
+    the SAME rm/lce fold runs per-qid in applyInPandas, so only the
+    fb_terms weights per query reach the driver (the 10^5-query shape).
+    Both flows sort records before folding -> bit-identical weights
+    (tested)."""
     import os
 
     from ivory_spark.query.exact import bm25_topk
 
     tokenize = get_tokenizer(index.properties.get("tokenizer", "code_v1")).tokenize_py
     initial = bm25_topk(spark, index, queries, k=fb_docs, with_docid=False)
+    if flow == "joined":
+        return _expand_joined(
+            spark, index, queries, initial, fb_terms, alpha, method, tokenize
+        )
+    if flow != "driver":
+        raise ValueError(f"unknown flow {flow!r}; use 'driver' or 'joined'")
     fb: dict[str, list] = {}
     for r in initial.collect():
         fb.setdefault(r["qid"], []).append((r["docno"], float(r["score"])))
@@ -145,6 +161,53 @@ def expand_queries(
             exp = rm_weights(recs, fb_terms)
         out.append({"qid": q["qid"], "terms": _mix(tokenize(q["query"]), exp, alpha)})
     return out
+
+
+def _expand_joined(
+    spark, index, queries, initial, fb_terms, alpha, method, tokenize
+) -> list[dict]:
+    """Distributed expansion-weight mining (see expand_queries flow=
+    'joined'): tdf x feedback join, per-qid fold in applyInPandas,
+    driver sees only (qid, term, weight) x fb_terms rows."""
+    import os
+
+    import pandas as pd
+
+    fbdf = initial.select("qid", "docno", F.col("score").cast("double").alias("score"))
+    tdf = spark.read.parquet(os.path.join(index.root, "tdf"))
+    rows_df = (
+        tdf.join(F.broadcast(fbdf), "docno")
+        .join(F.broadcast(index.dictionary.select("term")), "term", "left_semi")
+        .select("qid", "term", "docno", "tf", "dl", "score")
+    )
+    use_lce = method == "lce"
+
+    def kern(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if use_lce:
+            recs = list(
+                zip(pdf["term"], pdf["docno"], pdf["tf"], pdf["dl"], pdf["score"])
+            )
+            exp = lce_weights(recs, fb_terms)
+        else:
+            recs = list(zip(pdf["term"], pdf["docno"], pdf["tf"], pdf["dl"]))
+            exp = rm_weights(recs, fb_terms)
+        return pd.DataFrame(
+            {"qid": key[0], "term": [t for t, _ in exp], "w": [w for _, w in exp]}
+        )
+
+    wrows = rows_df.groupBy("qid").applyInPandas(
+        kern, schema="qid string, term string, w double"
+    ).collect()
+    exp_by_qid: dict[str, list] = {}
+    for r in wrows:
+        exp_by_qid.setdefault(r["qid"], []).append((r["term"], r["w"]))
+    return [
+        {
+            "qid": q["qid"],
+            "terms": _mix(tokenize(q["query"]), exp_by_qid.get(q["qid"], []), alpha),
+        }
+        for q in queries
+    ]
 
 
 def oracle_expand_queries(

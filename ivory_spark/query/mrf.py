@@ -529,7 +529,8 @@ def assemble_term_data(
 
     SHARED by the mrf_topk Spark kernel and serve.LocalSearcher.search_sd
     — the float32 rank-identity invariant requires every scorer path to
-    assemble identically (CLAUDE.md). Salted builds emit several
+    assemble identically (see README: float32 rank identity). Salted
+    builds emit several
     docno-disjoint runs per term: they are ordered by first docno and
     concatenated into one CSR; docs outside `cand` are masked out.
     Returns (term_data, dl_vec)."""
@@ -578,6 +579,7 @@ def mrf_topk(
     with_docid: bool = True,
     candidates: dict[str, set[int]] | None = None,
     extra_cliques: dict[str, list[dict]] | None = None,
+    candidates_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact SD/FD retrieval over a positional index: doc-sharded kernel
     (same shard grid as WAND), per-doc clique scoring, global top-k with
@@ -587,6 +589,12 @@ def mrf_topk(
     are scored (the cascade-ranking reranker contract — an expensive
     stage applied to a cheap stage's survivors,
     ivory/cascade/retrieval/CascadeEval.java).
+
+    candidates_df: the same restriction as a (qid, docno) DataFrame —
+    the allow-list never touches the driver: candidate rows are tagged
+    (termid = -1) into the same (qid, shard) groups as the postings
+    runs, so a 10^5-query cascade stays fully distributed. Mutually
+    exclusive with `candidates`; bit-identical results (tested).
 
     extra_cliques: optional qid -> additional clique dicts appended after
     the query-derived ones (latent-concept expansion injects mined
@@ -650,6 +658,22 @@ def mrf_topk(
         "shard",
         F.explode(F.sequence(shard_of(F.col("first_docno")), shard_of(F.col("last_docno")))),
     )
+    if candidates_df is not None:
+        if candidates is not None:
+            raise ValueError("pass either candidates or candidates_df, not both")
+        # allow-list rows ride the SAME (qid, shard) shuffle as the runs
+        # (termid -1 marks them); no driver round-trip
+        cand_rows = candidates_df.select(
+            F.lit(-1).cast("long").alias("termid"),
+            F.lit(0).cast(runs.schema["n"].dataType).alias("n"),
+            F.col("docno").alias("first_docno"),
+            F.col("docno").alias("last_docno"),
+            F.lit(None).cast("binary").alias("blob"),
+            F.lit(None).cast("binary").alias("pos_blob"),
+            F.col("qid"),
+            shard_of(F.col("docno")).alias("shard"),
+        )
+        runs = runs.unionByName(cand_rows)
 
     def shard_bounds(s: int) -> tuple[int, int]:
         lo = -((-s * (n_docs + 1)) // n_shards)
@@ -662,10 +686,19 @@ def mrf_topk(
         else None
     )
 
+    df_mode = candidates_df is not None
+
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         qid, shard = key
         lo, hi = shard_bounds(int(shard))
         cliques = q_cliques[qid]
+        allow_rows = None
+        if df_mode:
+            is_cand = pdf["termid"].to_numpy() == -1
+            allow_rows = np.unique(pdf["first_docno"].to_numpy()[is_cand]).astype(
+                np.int64
+            )
+            pdf = pdf[~is_cand]
         # pass 1: decode each term's run once, mask to the shard range
         decoded = []  # (term, docnos int64, tfs, dls, flat_pos, indptr)
         for row in pdf.itertuples(index=False):
@@ -691,6 +724,8 @@ def mrf_topk(
         if cand_sorted is not None:
             allow = cand_sorted.get(qid, np.empty(0, dtype=np.int64))
             cand = cand[np.isin(cand, allow, assume_unique=True)]
+        if allow_rows is not None:
+            cand = cand[np.isin(cand, allow_rows, assume_unique=True)]
         if len(cand) == 0:
             return pd.DataFrame(columns=["qid", "docno", "score"]).astype(
                 {"qid": str, "docno": np.int64, "score": np.float32}

@@ -121,3 +121,73 @@ def test_cascade_cost_accounting(spark, pos_idx):
     assert costs["total_cost_units"] > 0
     assert 0 < costs["cost_vs_flat"]
     assert costs["stage1"]["wall_sec"] >= 0 and costs["stage2"]["wall_sec"] >= 0
+
+
+def _match_golden(res_df, golden):
+    got = {}
+    for r in res_df.collect():
+        got.setdefault(r["qid"], []).append(r)
+    for qid, want in golden.items():
+        have = got.get(qid, [])
+        assert [h["docno"] for h in have] == [w["docno"] for w in want], qid
+        hb = np.array([h["score"] for h in have], dtype=np.float32).view(np.uint32)
+        wb = np.array([w["score"] for w in want], dtype=np.float32).view(np.uint32)
+        assert np.array_equal(hb, wb), qid
+
+
+def test_three_stage_cascade_rank_identity(spark, pos_idx, oi):
+    """CascadeEval staged pruning: WAND(k=30) -> SD(k=12) -> FD on the
+    12 survivors (k=5) — bit-exact vs the oracle composition."""
+    stages = [
+        {"model": MrfModel(dependence="sd"), "k": 12},
+        {"model": MrfModel(dependence="fd"), "k": 5},
+    ]
+    golden = oracle_cascade_topk(oi, QS, stage1_k=30, stages=stages)
+    res = cascade_topk(spark, pos_idx, QS, stage1_k=30, stages=stages)
+    assert any(golden[q["qid"]] for q in QS)
+    _match_golden(res, golden)
+
+
+def test_three_stage_costs_accounting(spark, pos_idx):
+    stages = [
+        {"model": MrfModel(dependence="sd"), "k": 8, "unit_cost": 20.0},
+        {"model": MrfModel(dependence="fd"), "k": 4, "unit_cost": 60.0},
+    ]
+    costs = {}
+    out = cascade_topk(spark, pos_idx, QS[:2], stage1_k=10, stages=stages,
+                       costs=costs).collect()
+    assert len(out) > 0
+    assert len(costs["stages"]) == 3
+    s0, s1, s2 = costs["stages"]
+    assert s0["kind"] == "wand_bm25" and s0["k"] == 10
+    # each stage scores exactly the previous stage's survivors
+    assert s1["docs_scored"] == s0["candidate_docs"]
+    assert s2["docs_scored"] == s1["candidate_docs"]
+    assert s2["unit_cost"] == 60.0
+    # monotone pruning
+    assert s0["candidate_docs"] >= s1["candidate_docs"] >= s2["candidate_docs"]
+    assert costs["total_cost_units"] > 0 and costs["cost_vs_flat"] > 0
+
+
+def test_candidates_df_matches_dict_path(spark, pos_idx, oi):
+    """mrf_topk's distributed allow-list (tagged rows through the shard
+    shuffle) is bit-identical to the driver-side dict restriction."""
+    from ivory_spark.query.mrf import mrf_topk
+
+    model = MrfModel(dependence="sd", k=10)
+    cand = {
+        "c1": set(range(1, 120, 3)),
+        "c2": set(range(2, 200, 5)),
+        "c3": set(),
+    }
+    via_dict = mrf_topk(spark, pos_idx, QS, model, candidates=cand).collect()
+    cdf = spark.createDataFrame(
+        [(q, int(d)) for q, s in cand.items() for d in s], "qid string, docno long"
+    )
+    via_df = mrf_topk(spark, pos_idx, QS, model, candidates_df=cdf).collect()
+    key = lambda rows: [(r["qid"], r["rank"], r["docno"],
+                         np.float32(r["score"]).view(np.uint32)) for r in rows]
+    assert key(via_dict) == key(via_df)
+    assert len(via_dict) > 0
+    with pytest.raises(ValueError, match="not both"):
+        mrf_topk(spark, pos_idx, QS, model, candidates=cand, candidates_df=cdf)

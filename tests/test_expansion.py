@@ -157,3 +157,22 @@ def test_lce_expanded_retrieval_rank_identity(spark, idx, oi):
     wq = expand_queries(spark, idx, qs, fb_docs=5, fb_terms=8, method="lce")
     golden = oracle_topk_weighted(oi, wq, k=K)
     _assert_match(bm25_topk(spark, idx, wq, k=K, weighted=True), golden)
+
+
+def test_joined_flow_matches_driver_flow(spark, idx):
+    """flow='joined' (distributed tdf x feedback join, per-qid fold in
+    applyInPandas) must produce exactly the driver flow's weights — both
+    sort records before the float64 fold."""
+    from ivory_spark.query.expander import expand_queries
+
+    qs = QUERY_SET[:3]
+    for method in ("rm", "lce"):
+        a = expand_queries(spark, idx, qs, fb_docs=5, fb_terms=8, method=method)
+        b = expand_queries(
+            spark, idx, qs, fb_docs=5, fb_terms=8, method=method, flow="joined"
+        )
+        assert a == b, method  # exact float64 equality, not approx
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown flow"):
+        expand_queries(spark, idx, qs, flow="banana")

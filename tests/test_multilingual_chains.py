@@ -248,3 +248,62 @@ def test_stemmers_never_crash_on_odd_input():
         for s in samples:
             toks = spec.tokenize_py(s)
             assert isinstance(toks, list), name
+
+
+def test_zh_dict_goldens():
+    """FMM segmentation (the documented Stanford-segmenter substitution,
+    functions/segment_zh.py): longest lexicon word wins, OOV chars fall
+    back to singles, latin runs and punctuation behave like cjk_bigram."""
+    zh = get_tokenizer("zh_dict").tokenize_py
+    assert zh("我们在北京学习") == ["我们", "在", "北京", "学习"]
+    # greedy longest match: 4-char domain words beat their 2-char prefixes
+    assert zh("机器学习和搜索引擎") == ["机器学习", "和", "搜索引擎"]
+    # OOV run falls back to single characters
+    assert zh("烫烫烫") == ["烫", "烫", "烫"]
+    # punctuation splits runs; latin/digits tokenize as words
+    assert zh("代码，python3 程序") == ["代码", "python3", "程序"]
+    # mixed scripts round-trip
+    assert zh("用spark处理数据") == ["用", "spark", "处理", "数据"]
+    from ivory_spark.functions.segment_zh import segment_zh
+
+    # injectable lexicon
+    assert segment_zh("abc", frozenset({"ab"})) == ["ab", "c"]
+
+
+ZH_DOCS = [
+    "我们使用搜索引擎查询文档",
+    "机器学习模型需要大量数据训练",
+    "学生在大学学习计算机科学",
+    "系统对查询结果进行排序",
+    "数据库服务器存储用户信息",
+    "老师在学校教育学生",
+    "互联网技术发展很快",
+    "程序代码需要测试",
+] * 3
+
+
+def test_zh_dict_e2e_rank_identity(spark, tmp_path_factory):
+    """Build + BM25 retrieval under zh_dict stays float32 rank-identical
+    to the numpy oracle, and word-level segmentation retrieves documents
+    sharing segmented words with the query."""
+    corpus = _mini_corpus(ZH_DOCS, "zh")
+    d = tmp_path_factory.mktemp("corpus_zh")
+    p = str(d / "corpus.parquet")
+    corpus.to_parquet(p, index=False)
+    root = str(d / "idx")
+    props = build_index(spark, p, root, IndexConfig(tokenizer="zh_dict"))
+    assert props["tokenizer"] == "zh_dict"
+    index = open_index(spark, root)
+    oi = build_oracle_index(corpus, tokenizer="zh_dict")
+    queries = [
+        {"qid": "z1", "query": "机器学习训练数据"},
+        {"qid": "z2", "query": "学生学习搜索引擎"},
+    ]
+    golden = oracle_topk(oi, queries, k=10)
+    got = bm25_topk(spark, index, queries, k=10)
+    assert_matches_oracle(got, golden)
+    assert all(len(v) > 0 for v in golden.values())
+    # the dictionary chain indexes WORDS: the multi-char lexicon entries
+    # appear as index terms (bigram chain would shatter them)
+    terms = {r["term"] for r in index.dictionary.collect()}
+    assert "搜索引擎" in terms and "机器学习" in terms
