@@ -360,6 +360,25 @@ def _explode_feats(df: DataFrame, col_names: list[str]) -> DataFrame:
     return df.select(*cols).orderBy("qid", "docno")
 
 
+def extract_features_for_run(
+    spark: SparkSession,
+    index: Index,
+    queries: list[dict],
+    results: DataFrame,
+    models: dict[str, MrfModel | Model],
+    operators: dict[str, str] | None = None,
+) -> DataFrame:
+    """Feature vectors for RETRIEVED docs (grade column = 0): the
+    rank-and-features shape of ffg/driver/RankAndFeaturesSmallAdaptive
+    .java — run retrieval, then hand its (qid, docno) frame here to
+    get reranking features for every hit. results: any DataFrame with
+    qid + docno columns (e.g. bm25_topk_wand / cascade_topk output)."""
+    pseudo: dict[str, dict[int, float]] = {}
+    for r in results.select("qid", "docno").collect():
+        pseudo.setdefault(r["qid"], {})[int(r["docno"])] = 0.0
+    return extract_features(spark, index, queries, pseudo, models, operators)
+
+
 def oracle_extract_features(
     oracle_index,
     queries: list[dict],

@@ -181,3 +181,19 @@ def test_tsv_round_trip_reference_header(spark, fpos_index, tmp_path):
         a = inst.features[:, inst.feature_names.index(nm)]
         b = back.features[:, back.feature_names.index(nm)]
         assert np.array_equal(a, b), nm
+
+
+def test_extract_features_for_run(spark, fpos_index):
+    """ffg rank-and-features: features computed for a retrieval run's
+    hits (grade 0), one row per (qid, docno) of the result frame."""
+    from ivory_spark.query.features import extract_features_for_run
+    from ivory_spark.query.wand import bm25_topk_wand
+
+    res = bm25_topk_wand(spark, fpos_index, QUERIES[:2], k=5, with_docid=False)
+    df = extract_features_for_run(spark, fpos_index, QUERIES[:2], res, MODELS)
+    rows = df.collect()
+    want = {(r["qid"], r["docno"]) for r in res.collect()}
+    assert {(r["qid"], r["docno"]) for r in rows} == want
+    assert all(r["grade"] == 0.0 for r in rows)
+    # retrieved docs contain query terms -> bm25 term feature nonzero
+    assert any(r["bm25-term"] != 0.0 for r in rows)

@@ -1,0 +1,117 @@
+"""Pseudo-test-collection generation (ivory/ptc parity): anchor-text
+inverted index, extractors, the SimplePseudoQueryScorer, the three
+sampling criteria as window quotas, and XML/qrels round-trips."""
+
+import pytest
+
+from ivory_spark.ops.ptc import (
+    anchor_text_inverted_index,
+    pseudo_test_collection,
+    write_judgments_qrels,
+    write_queries_xml,
+)
+
+# (anchor_text, src, target): "merge sort" points at 3 targets with
+# in-link counts 3/2/1; "spark window" at 2; "the" (1 token) at 1
+ANCHORS = [
+    ("merge sort", 1, 101), ("merge sort", 2, 101), ("merge sort", 3, 101),
+    ("merge sort", 1, 102), ("merge sort", 4, 102),
+    ("merge sort", 5, 103),
+    ("spark window", 1, 201), ("spark window", 2, 201),
+    ("spark window", 3, 202),
+    ("the", 9, 301),
+]
+
+
+@pytest.fixture(scope="module")
+def aidx(spark):
+    df = spark.createDataFrame(
+        ANCHORS, "anchor_text string, src_docno long, target_docno long"
+    )
+    return anchor_text_inverted_index(df).persist()
+
+
+def test_anchor_index_weights_and_sources(aidx):
+    rows = {(r["anchor_text"], r["target_docno"]): r for r in aidx.collect()}
+    assert rows[("merge sort", 101)]["weight"] == 3.0
+    assert rows[("merge sort", 101)]["sources"] == [1, 2, 3]
+    assert rows[("merge sort", 102)]["n_sources"] == 2
+    assert rows[("the", 301)]["weight"] == 1.0
+
+
+def test_collection_scores_and_order(spark, aidx):
+    col = pseudo_test_collection(aidx).collect()
+    by_q = {r["query"]: r for r in col}
+    # SimplePseudoQueryScorer: sum(weights)/count
+    assert by_q["merge sort"]["score"] == pytest.approx((3 + 2 + 1) / 3)
+    assert by_q["spark window"]["score"] == pytest.approx((2 + 1) / 2)
+    # sorted by score desc -> qids follow
+    assert [r["query"] for r in col] == ["merge sort", "spark window", "the"]
+    assert [r["qid"] for r in col] == [1, 2, 3]
+    # judgments ordered weight desc
+    j = by_q["merge sort"]["judgments"]
+    assert [x["docno"] for x in j] == [101, 102, 103]
+    assert [x["weight"] for x in j] == [3.0, 2.0, 1.0]
+
+
+def test_topn_judgment_extractor(aidx):
+    col = pseudo_test_collection(aidx, judgments=("top_n", 2)).collect()
+    ms = next(r for r in col if r["query"] == "merge sort")
+    assert [x["docno"] for x in ms["judgments"]] == [101, 102]
+    # the cut changes the score: (3+2)/2
+    assert ms["score"] == pytest.approx(2.5)
+
+
+def test_sampling_criteria(aidx):
+    top1 = pseudo_test_collection(aidx, criterion=("top_n", 1)).collect()
+    assert [r["query"] for r in top1] == ["merge sort"]
+
+    # length_count: quota one 2-token query, zero others; bounds [1, 5]
+    lc = pseudo_test_collection(
+        aidx, criterion=("length_count", {2: 1}, 1, 5)
+    ).collect()
+    assert [r["query"] for r in lc] == ["merge sort"]  # highest-scored 2-token
+    # min-targets bound excludes single-target queries entirely
+    lc2 = pseudo_test_collection(
+        aidx, criterion=("length_count", {2: 9, 1: 9}, 2, 5)
+    ).collect()
+    assert all(r["n_targets"] >= 2 for r in lc2)
+    assert not any(r["query"] == "the" for r in lc2)
+
+    # link_count: quota one 2-target query, one 1-target query
+    lk = pseudo_test_collection(
+        aidx, criterion=("link_count", {2: 1, 1: 1})
+    ).collect()
+    got = {r["query"] for r in lk}
+    assert "spark window" in got  # the only 2-target query
+    assert "the" in got  # first (only) 1-target
+    assert "merge sort" not in got  # 3 targets: no quota entry -> dropped
+
+
+def test_xml_and_qrels_round_trip(aidx, tmp_path):
+    from ivory_spark.functions.eval import parse_graded_qrels
+    from ivory_spark.query.batch import parse_query_xml
+
+    col = pseudo_test_collection(aidx)
+    qp = str(tmp_path / "queries.xml")
+    jp = str(tmp_path / "qrels.txt")
+    assert write_queries_xml(col, qp) == 3
+    assert write_judgments_qrels(col, jp) == 6
+    qs = parse_query_xml(qp)
+    assert [(q["qid"], q["query"]) for q in qs] == [
+        ("1", "merge sort"), ("2", "spark window"), ("3", "the")
+    ]
+    graded = parse_graded_qrels(jp)
+    assert graded["1"]["101"] == 3.0 and graded["2"]["202"] == 1.0
+
+
+def test_weight_col_hook(spark):
+    """The WeightingScheme hook: external per-link weights sum instead
+    of counting (judgments/weighting/Anchor.java shape)."""
+    df = spark.createDataFrame(
+        [("q", 1, 10, 0.5), ("q", 2, 10, 0.25), ("q", 3, 11, 2.0)],
+        "anchor_text string, src_docno long, target_docno long, w double",
+    )
+    aidx = anchor_text_inverted_index(df, weight_col="w")
+    rows = {r["target_docno"]: r["weight"] for r in aidx.collect()}
+    assert rows[10] == 0.75 and rows[11] == 2.0
