@@ -201,6 +201,35 @@ def main() -> None:
     mrf_topk(spark, pos_index, QUERY_SET[:5], MrfModel(dependence="fd")).collect()
     fd_sec = round(time.monotonic() - t0, 3)
 
+    # sqe structured-query batch (tf/df-blending #weight + phrase leaves)
+    # and ltr feature extraction over judged docs — round-4 surfaces
+    from ivory_spark.query.features import extract_features
+    from ivory_spark.query.sqe import sqe_topk
+
+    sqe_queries = [
+        {"qid": f"s{i}", "query": {"#combine": [
+            {"#weight": [0.7, q["query"].split()[0], 0.3, q["query"].split()[-1]]},
+            " ".join(q["query"].split()[:2]),
+        ]}}
+        for i, q in enumerate(QUERY_SET[:5])
+    ]
+    sqe_topk(spark, pos_index, sqe_queries[:1], k=10).collect()  # warm
+    t0 = time.monotonic()
+    sqe_topk(spark, pos_index, sqe_queries, k=10).collect()
+    sqe_sec = round(time.monotonic() - t0, 3)
+
+    n_pos = pos_index.properties["n_docs"]
+    ltr_qrels = {
+        q["qid"]: {d: float(d % 4) for d in range(1, n_pos + 1, 7)}
+        for q in QUERY_SET[:3]
+    }
+    t0 = time.monotonic()
+    ltr_rows = extract_features(
+        spark, pos_index, QUERY_SET[:3], ltr_qrels,
+        {"sd": MrfModel(dependence="sd")},
+    ).count()
+    ltr_sec = round(time.monotonic() - t0, 3)
+
     from ivory_spark.functions.tokenizer import get_tokenizer
 
     ndocs_nl = docs.count()
@@ -273,6 +302,9 @@ def main() -> None:
         "positional_build_docs": pos_docs,
         "mrf_sd_batch10_sec": sd_sec,
         "mrf_fd_batch5_sec": fd_sec,
+        "sqe_batch5_sec": sqe_sec,
+        "ltr_extract_sec": ltr_sec,
+        "ltr_extract_rows": ltr_rows,
         "galago_en_docs_per_sec": round(ndocs_nl / galago_sec, 1),
         "streaming_dedup_docs_per_sec": stream_docs_per_sec,
     }

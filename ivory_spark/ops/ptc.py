@@ -49,17 +49,21 @@ def anchor_text_inverted_index(
     """(anchor_text, target_docno, sources, n_sources, weight): one row
     per (anchor text, target), weight = in-link count unless weight_col
     gives per-link weights to sum (the WeightingScheme hook)."""
+    # duplicate (anchor, src, target) link rows collapse: sources is a
+    # set, and the default weight counts DISTINCT sources so the two
+    # fields always agree (a page linking twice is one in-link);
+    # weight_col sums every row (external per-link weights)
     w = (
         F.sum(F.col(weight_col)).cast("float")
         if weight_col
-        else F.count(F.lit(1)).cast("float")
+        else F.count_distinct(F.col(src_col)).cast("float")
     )
     return anchors.groupBy(
         F.col(anchor_col).alias("anchor_text"),
         F.col(target_col).alias("target_docno"),
     ).agg(
         F.sort_array(F.collect_set(F.col(src_col))).alias("sources"),
-        F.count(F.lit(1)).cast("int").alias("n_sources"),
+        F.count_distinct(F.col(src_col)).cast("int").alias("n_sources"),
         w.alias("weight"),
     )
 

@@ -36,13 +36,14 @@ accumulators (ltr/operator/Sum.java getFinalScore).
 
 from __future__ import annotations
 
+import sys
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ivory_spark.functions.tokenizer import get_tokenizer
-from ivory_spark.index import codec
 from ivory_spark.index.reader import Index
 from ivory_spark.query.batch import Model
 from ivory_spark.query.mrf import (
@@ -51,9 +52,11 @@ from ivory_spark.query.mrf import (
     TermData,
     _clique_score_vec,
     _clique_window_counts,
-    _gather_csr,
     assemble_term_data,
     build_cliques,
+    decode_shard_runs,
+    make_shard_bounds,
+    shard_of_expr,
 )
 
 F32 = np.float32
@@ -223,10 +226,15 @@ def extract_features(
     for q in queries:
         qid = q["qid"]
         if qid not in qrels or not qrels[qid]:
-            continue  # no judgments -> skipped (ExtractFeatures.java:214)
+            # ExtractFeatures.java:214 warns and skips
+            print(f"warning: no judgments for qid = {qid!r} -- skipping",
+                  file=sys.stderr)
+            continue
         kept = [t for t in tokenize(q["query"]) if t in stats]
         if not kept:
-            continue  # fully-OOV query dropped (finalQuery empty)
+            print(f"warning: query {qid!r} fully out of vocabulary -- skipping",
+                  file=sys.stderr)
+            continue
         cliques: list[dict] = []
         offset = 0
         for mname, mrf in mrfs.items():
@@ -253,10 +261,7 @@ def extract_features(
     dl_rows = index.doclens.filter(F.col("docno").isin(all_judged)).collect()
     dl_by_docno = {r["docno"]: r["doclen"] for r in dl_rows}
 
-    def shard_bounds(s: int) -> tuple[int, int]:
-        lo = -((-s * (n_docs + 1)) // n_shards)
-        hi = -((-(s + 1) * (n_docs + 1)) // n_shards) - 1
-        return max(lo, 1), min(hi, n_docs)
+    shard_bounds = make_shard_bounds(n_shards, n_docs)
 
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         qid, shard = key
@@ -267,22 +272,7 @@ def extract_features(
             return pd.DataFrame({"qid": [], "docno": [], "feats": []}).astype(
                 {"qid": str, "docno": np.int64, "feats": object}
             )
-        decoded = []
-        for row in pdf.itertuples(index=False):
-            term = term_by_id[int(row.termid)]
-            docnos, tfs, dl_arr = codec.decode_run(bytes(row.blob))
-            d64 = docnos.astype(np.int64)
-            mask = (d64 >= lo) & (d64 <= hi)
-            if not mask.any():
-                continue
-            pos_blob = getattr(row, "pos_blob", None)
-            flat, indptr = codec.decode_positions_flat(
-                bytes(pos_blob) if pos_blob is not None else b"", tfs
-            )
-            rows = np.nonzero(mask)[0]
-            fvals, lens = _gather_csr(flat, indptr, rows)
-            iptr = np.concatenate(([0], np.cumsum(lens)))
-            decoded.append((term, d64[rows], tfs[rows], dl_arr[rows], fvals, iptr))
+        decoded = decode_shard_runs(pdf, term_by_id, lo, hi)
         term_data, _ = assemble_term_data(decoded, cand) if decoded else ({}, None)
         dl_vec = np.array([dl_by_docno.get(int(d), 0) for d in cand], dtype=np.int64)
         feats = clique_potentials_batch(
@@ -306,7 +296,7 @@ def extract_features(
         ]
         qdf = spark.createDataFrame(qrows, "qid string, termid long")
         runs = runs.join(F.broadcast(qdf), "termid")
-        shard_of = lambda c: F.floor(c * F.lit(n_shards) / F.lit(n_docs + 1)).cast("int")
+        shard_of = shard_of_expr(n_shards, n_docs)
         runs = runs.withColumn(
             "shard",
             F.explode(
@@ -316,6 +306,16 @@ def extract_features(
         scored = runs.groupBy("qid", "shard").applyInPandas(
             kernel, schema=feat_schema
         ).persist()  # coverage probe below + the final join reuse one run
+        # one-deep cache registry (the scored_topk pattern): release the
+        # PREVIOUS call's cache — this lazy API can't see the caller's
+        # final action, so per-call unpersist would force a recompute
+        prev = getattr(extract_features, "_cached_scored", None)
+        if prev is not None:
+            try:
+                prev.unpersist()
+            except Exception:
+                pass  # stopped session from an earlier SparkSession
+        extract_features._cached_scored = scored
         covered = {
             (r["qid"], r["docno"])
             for r in scored.select("qid", "docno").collect()

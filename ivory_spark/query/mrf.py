@@ -567,6 +567,57 @@ def assemble_term_data(
 
 
 # ---------------------------------------------------------------------------
+# doc-shard grid — THE shard invariant, shared by every sharded kernel
+# (mrf_topk, sqe.sqe_topk, features.extract_features): a docno d lands in
+# shard floor(d * n_shards / (n_docs + 1)), and shard s covers the
+# docno range returned by the bounds function (ceil-division inverse).
+# Keep these three definitions as the single source of truth — the
+# float32 rank-identity contract depends on every kernel agreeing on
+# shard membership at the boundaries.
+# ---------------------------------------------------------------------------
+
+
+def shard_of_expr(n_shards: int, n_docs: int):
+    """Column expr factory: docno column -> int shard id."""
+    return lambda c: F.floor(c * F.lit(n_shards) / F.lit(n_docs + 1)).cast("int")
+
+
+def make_shard_bounds(n_shards: int, n_docs: int):
+    """-> bounds(s) giving shard s's inclusive [lo, hi] docno range."""
+
+    def bounds(s: int) -> tuple[int, int]:
+        lo = -((-s * (n_docs + 1)) // n_shards)
+        hi = -((-(s + 1) * (n_docs + 1)) // n_shards) - 1
+        return max(lo, 1), min(hi, n_docs)
+
+    return bounds
+
+
+def decode_shard_runs(pdf: pd.DataFrame, term_by_id: dict, lo: int, hi: int) -> list:
+    """Decode each postings-run row of one (qid, shard) group, masked to
+    the shard's [lo, hi] docno range -> [(term, docnos int64, tfs, dls,
+    flat_pos, indptr)] ready for assemble_term_data. Rows without a
+    pos_blob column (non-positional index) decode empty positions."""
+    decoded = []
+    for row in pdf.itertuples(index=False):
+        term = term_by_id[int(row.termid)]
+        docnos, tfs, dl_arr = codec.decode_run(bytes(row.blob))
+        d64 = docnos.astype(np.int64)
+        mask = (d64 >= lo) & (d64 <= hi)
+        if not mask.any():
+            continue
+        pos_blob = getattr(row, "pos_blob", None)
+        flat, indptr = codec.decode_positions_flat(
+            bytes(pos_blob) if pos_blob is not None else b"", tfs
+        )
+        rows = np.nonzero(mask)[0]
+        fvals, lens = _gather_csr(flat, indptr, rows)
+        iptr = np.concatenate(([0], np.cumsum(lens)))
+        decoded.append((term, d64[rows], tfs[rows], dl_arr[rows], fvals, iptr))
+    return decoded
+
+
+# ---------------------------------------------------------------------------
 # Spark path
 # ---------------------------------------------------------------------------
 
@@ -653,7 +704,7 @@ def mrf_topk(
     ]
     qdf = spark.createDataFrame(qrows, "qid string, termid long")
     runs = runs.join(F.broadcast(qdf), "termid")
-    shard_of = lambda c: F.floor(c * F.lit(n_shards) / F.lit(n_docs + 1)).cast("int")
+    shard_of = shard_of_expr(n_shards, n_docs)
     runs = runs.withColumn(
         "shard",
         F.explode(F.sequence(shard_of(F.col("first_docno")), shard_of(F.col("last_docno")))),
@@ -675,10 +726,7 @@ def mrf_topk(
         )
         runs = runs.unionByName(cand_rows)
 
-    def shard_bounds(s: int) -> tuple[int, int]:
-        lo = -((-s * (n_docs + 1)) // n_shards)
-        hi = -((-(s + 1) * (n_docs + 1)) // n_shards) - 1
-        return max(lo, 1), min(hi, n_docs)
+    shard_bounds = make_shard_bounds(n_shards, n_docs)
 
     cand_sorted = (
         {q: np.array(sorted(s), dtype=np.int64) for q, s in candidates.items()}
@@ -700,21 +748,7 @@ def mrf_topk(
             )
             pdf = pdf[~is_cand]
         # pass 1: decode each term's run once, mask to the shard range
-        decoded = []  # (term, docnos int64, tfs, dls, flat_pos, indptr)
-        for row in pdf.itertuples(index=False):
-            term = term_by_id[int(row.termid)]
-            docnos, tfs, dl_arr = codec.decode_run(bytes(row.blob))
-            d64 = docnos.astype(np.int64)
-            mask = (d64 >= lo) & (d64 <= hi)
-            if not mask.any():
-                continue
-            flat, indptr = codec.decode_positions_flat(
-                bytes(row.pos_blob) if row.pos_blob is not None else b"", tfs
-            )
-            rows = np.nonzero(mask)[0]
-            fvals, lens = _gather_csr(flat, indptr, rows)
-            iptr = np.concatenate(([0], np.cumsum(lens)))
-            decoded.append((term, d64[rows], tfs[rows], dl_arr[rows], fvals, iptr))
+        decoded = decode_shard_runs(pdf, term_by_id, lo, hi)
         if not decoded:
             return pd.DataFrame(columns=["qid", "docno", "score"]).astype(
                 {"qid": str, "docno": np.int64, "score": np.float32}

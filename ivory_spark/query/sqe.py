@@ -46,14 +46,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ivory_spark.functions.tokenizer import get_tokenizer
-from ivory_spark.index import codec
 from ivory_spark.index.reader import Index
 from ivory_spark.query.mrf import (
     TermData,
     _clique_window_counts,
-    _gather_csr,
     assemble_term_data,
     count_ordered_matches,
+    decode_shard_runs,
+    make_shard_bounds,
+    shard_of_expr,
 )
 
 F32 = np.float32
@@ -138,18 +139,6 @@ def tfdf_bm25(
     return ((num / den) * idf).astype(np.float32)
 
 
-def _is_tfdf(node: SqeNode) -> bool:
-    """Does evaluating this node yield a TfDfWeight (vs FloatWeight)?
-    Mirrors runOperator's scores[0]-typed dispatch: leaves are tf/df;
-    #weight is tf/df iff its FIRST child is; #combine/#combweight are
-    always scores (FloatWeight)."""
-    if node.op in ("term", "phrase"):
-        return True
-    if node.op == "weight":
-        return bool(node.children) and _is_tfdf(node.children[0])
-    return False
-
-
 def _eval_node(
     node: SqeNode,
     term_data: dict[str, TermData],
@@ -220,8 +209,7 @@ def _score_of(kid, dl, n_docs, avgdl_int) -> np.ndarray:
 
 
 def _candidate_mask(
-    node: SqeNode, term_data: dict[str, TermData], stats, m: int, max_pos: int,
-    n_docs: int,
+    node: SqeNode, term_data: dict[str, TermData], stats, m: int, max_pos: int
 ) -> np.ndarray:
     """Docs where >=1 leaf matches (term tf>0 / phrase window match) —
     the getNextCandidate walk over leaf postings."""
@@ -235,7 +223,7 @@ def _candidate_mask(
         return _clique_window_counts(list(node.terms), clique, term_data, m, max_pos) > 0
     mask = np.zeros(m, dtype=bool)
     for c in node.children:
-        mask |= _candidate_mask(c, term_data, stats, m, max_pos, n_docs)
+        mask |= _candidate_mask(c, term_data, stats, m, max_pos)
     return mask
 
 
@@ -288,36 +276,17 @@ def sqe_topk(
     ]
     qdf = spark.createDataFrame(qrows, "qid string, termid long")
     runs = runs.join(F.broadcast(qdf), "termid")
-    shard_of = lambda c: F.floor(c * F.lit(n_shards) / F.lit(n_docs + 1)).cast("int")
+    shard_of = shard_of_expr(n_shards, n_docs)
     runs = runs.withColumn(
         "shard",
         F.explode(F.sequence(shard_of(F.col("first_docno")), shard_of(F.col("last_docno")))),
     )
-
-    def shard_bounds(s: int) -> tuple[int, int]:
-        lo = -((-s * (n_docs + 1)) // n_shards)
-        hi = -((-(s + 1) * (n_docs + 1)) // n_shards) - 1
-        return max(lo, 1), min(hi, n_docs)
+    shard_bounds = make_shard_bounds(n_shards, n_docs)
 
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         qid, shard = key
         lo, hi = shard_bounds(int(shard))
-        decoded = []
-        for row in pdf.itertuples(index=False):
-            term = term_by_id[int(row.termid)]
-            docnos, tfs, dl_arr = codec.decode_run(bytes(row.blob))
-            d64 = docnos.astype(np.int64)
-            mask = (d64 >= lo) & (d64 <= hi)
-            if not mask.any():
-                continue
-            pos_blob = getattr(row, "pos_blob", None)
-            flat, indptr = codec.decode_positions_flat(
-                bytes(pos_blob) if pos_blob is not None else b"", tfs
-            )
-            rows = np.nonzero(mask)[0]
-            fvals, lens = _gather_csr(flat, indptr, rows)
-            iptr = np.concatenate(([0], np.cumsum(lens)))
-            decoded.append((term, d64[rows], tfs[rows], dl_arr[rows], fvals, iptr))
+        decoded = decode_shard_runs(pdf, term_by_id, lo, hi)
         empty = pd.DataFrame({"qid": [], "docno": [], "score": []}).astype(
             {"qid": str, "docno": np.int64, "score": np.float32}
         )
@@ -330,7 +299,7 @@ def sqe_topk(
             if td.flat_pos.size:
                 max_pos = max(max_pos, int(td.flat_pos.max()))
         tree = trees[qid]
-        mask = _candidate_mask(tree, term_data, stats, len(cand), max_pos, n_docs)
+        mask = _candidate_mask(tree, term_data, stats, len(cand), max_pos)
         if not mask.any():
             return empty
         res = _eval_node(tree, term_data, dl_vec, stats, n_docs, avgdl_int, max_pos)

@@ -20,6 +20,7 @@ ANCHORS = [
     ("spark window", 1, 201), ("spark window", 2, 201),
     ("spark window", 3, 202),
     ("the", 9, 301),
+    ("the", 9, 301),  # duplicate link row: one page linking twice = ONE in-link
 ]
 
 
