@@ -309,6 +309,65 @@ def _engine_cascade_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ptc_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-test-collection generation (ops/ptc.py): synthetic anchor
+    links derived deterministically from the documents table — anchor
+    text = the doc's first two code_v1 tokens, source = the doc, target
+    = (doc_id % 97) + 1 (collisions create multi-link targets) — then
+    the full reference pipeline: anchor inverted index (distinct in-link
+    weights), top-5 judgment extractor, sum/count query scores, top-30
+    sampling criterion."""
+    from ivory_spark.ops.ptc import anchor_text_inverted_index, pseudo_test_collection
+
+    docs = _docs(spark, sf_dir)
+    toks = F.expr(
+        "filter(regexp_extract_all(lower(text), '[a-z_][a-z0-9_]*|[0-9]+', 0), "
+        "t -> length(t) <= 126)"
+    )
+    anchors = (
+        docs.select(F.col("doc_id").alias("src_docno"), toks.alias("l"))
+        .filter(F.size("l") >= 2)
+        .select(
+            "src_docno",
+            F.concat_ws(" ", F.col("l")[0], F.col("l")[1]).alias("anchor_text"),
+            ((F.col("src_docno") % 23) + 1).alias("target_docno"),
+        )
+    )
+    col = pseudo_test_collection(
+        anchor_text_inverted_index(anchors),
+        judgments=("top_n", 5),
+        criterion=("top_n", 30),
+    )
+    return col.select(
+        "qid", "query",
+        F.round(F.col("score").cast("double"), 6).alias("score"),
+        "n_targets",
+    )
+
+
+def _sql_ptc_queries() -> str:
+    return """
+WITH toks AS (SELECT doc_id,
+      list_filter(regexp_extract_all(lower(text), '[a-z_][a-z0-9_]*|[0-9]+'),
+                  t -> length(t) <= 126) AS l FROM documents),
+anch AS (SELECT doc_id AS src, l[1] || ' ' || l[2] AS anchor_text,
+                (doc_id % 23) + 1 AS target
+         FROM toks WHERE len(l) >= 2),
+ai AS (SELECT anchor_text, target, count(DISTINCT src)::FLOAT AS w
+       FROM anch GROUP BY anchor_text, target),
+tr AS (SELECT *, row_number() OVER (PARTITION BY anchor_text
+                 ORDER BY w DESC, target) AS trank FROM ai),
+cut AS (SELECT * FROM tr WHERE trank <= 5),
+q AS (SELECT anchor_text AS query, (sum(w) / count(*))::FLOAT AS score,
+             count(*)::INT AS n_targets
+      FROM cut GROUP BY anchor_text),
+ranked AS (SELECT *, row_number() OVER (ORDER BY score DESC, query)::INT AS qid
+           FROM q)
+SELECT qid, query, round(score::DOUBLE, 6) AS score, n_targets
+FROM ranked WHERE qid <= 30
+"""
+
+
 def _sqe_gate_queries() -> list[dict]:
     """Structured (sqe) twins of the gate queries, one fixed shape that
     exercises every operator: #combine[ #weight(0.7 t0, 0.3 t1),
@@ -1186,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_lce_top10": _engine_lce_top10,
         "engine_sqe_top10": _engine_sqe_top10,
         "ltr_features": _ltr_features,
+        "ptc_queries": _ptc_queries,
         "multimodal_features": _multimodal_features,
     }
 
@@ -1343,4 +1403,5 @@ FROM b""",
         "engine_lce_top10": _sql_engine_prf_top10(method="lce"),
         "engine_sqe_top10": _sql_engine_sqe_top10(),
         "ltr_features": _sql_ltr_features(),
+        "ptc_queries": _sql_ptc_queries(),
     }
