@@ -28,6 +28,11 @@ def captured_explain(df) -> str:
 
 
 def main() -> None:
+    # index_root must be an index over the GENERATED corpus (e.g.
+    # /tmp/ivory_bench_posidx_*) so QUERY_SET terms are in-vocabulary —
+    # an engine index over the sf documents table yields empty candidate
+    # scans and vacuous checks; positional roots also audit the cascade
+    # candidates_df plan
     index_root = sys.argv[1]
     out_md = sys.argv[2] if len(sys.argv) > 2 else None
 
@@ -121,6 +126,53 @@ def main() -> None:
     sections.append(("PRF tdf read (docno-selective)", plan3))
     sections.append(("PRF read checks", f"docno pushdown reaches parquet: {ok_prf}\n"))
 
+    # bitext sentence pairing: every join keyed (doc-pair / docno), no
+    # BroadcastNestedLoopJoin creeping into the cross-pair stage
+    from ivory_spark.ops.bitext import (
+        docs_to_sentences,
+        find_parallel_sentence_pairs,
+        translate_vectors,
+    )
+
+    e_docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "docno long, content string"
+    )
+    f_docs = spark.createDataFrame(
+        [(11, "falpha fbeta fgamma fdelta fepsilon fzeta")], "docno long, content string"
+    )
+    tt = {("f" + t): [(t, 1.0)] for t in "alpha beta gamma delta epsilon zeta".split()}
+    bt_plan = captured_explain(
+        find_parallel_sentence_pairs(
+            spark.createDataFrame([(1, 11)], "e_docno long, f_docno long"),
+            docs_to_sentences(e_docs),
+            translate_vectors(docs_to_sentences(f_docs), tt),
+            threshold=0.0,
+        )
+    )
+    ok_bitext = "BroadcastNestedLoopJoin" not in bt_plan
+    sections.append(("bitext sentence-pair plan",
+                     f"BroadcastNestedLoopJoin present: {not ok_bitext}\n"))
+
+    # cascade candidates_df flow: the stage-2 plan must contain the
+    # allow-list UNION feeding the same (qid, shard) groupBy — survivors
+    # ride the shuffle, they never detour through the driver
+    from ivory_spark.query.cascade import cascade_topk
+    from ivory_spark.query.mrf import MrfModel
+
+    if index.properties.get("positional"):
+        casc_plan = captured_explain(
+            cascade_topk(spark, index, QUERY_SET[:2], stage1_k=5,
+                         model=MrfModel(dependence="sd", k=3))
+        )
+        ok_casc = "Union" in casc_plan
+        sections.append(("cascade stage-2 plan (candidates_df)", casc_plan[:3000]))
+        sections.append(
+            ("cascade checks",
+             f"allow-list union feeds the shard shuffle: {ok_casc}\n")
+        )
+    else:
+        ok_casc = None
+
     text = "\n".join(f"## {t}\n\n```\n{b}\n```\n" for t, b in sections)
     if out_md:
         with open(out_md, "w") as f:
@@ -131,6 +183,9 @@ def main() -> None:
     print("NO_BNLJ_OK" if ok_no_bnlj else "BNLJ_PRESENT")
     print("PRF_PUSHDOWN_OK" if ok_prf else "PRF_PUSHDOWN_MISSING")
     print("IVF_KEYED_JOIN_OK" if ok_ivf else "IVF_CARTESIAN_PRESENT")
+    print("BITEXT_NO_BNLJ_OK" if ok_bitext else "BITEXT_BNLJ_PRESENT")
+    if ok_casc is not None:
+        print("CASCADE_UNION_OK" if ok_casc else "CASCADE_UNION_MISSING")
 
 
 if __name__ == "__main__":
