@@ -493,6 +493,52 @@ FROM top t JOIN edocmap d USING (docno) WHERE t.rank <= {k}
 """
 
 
+def _wsd_gate_model():
+    """Weighted-SD gate model: deterministic concept-importance values
+    derived from the gate queries' own concept strings (value =
+    (len(concept) % 7 + 1) / 4), two metafeatures with defaults — both
+    the Spark path and the SQL generator call build_cliques on THIS
+    model, so the clique VALUES embed identical combined weights."""
+    from ivory_spark.functions.tokenizer import tokenize_py
+    from ivory_spark.query.importance import LinearImportanceModel, MetaFeature
+    from ivory_spark.query.mrf import FeatureSpec, MrfModel
+
+    concepts = set()
+    for q in IR.GATE_QUERIES:
+        toks = tokenize_py(q["query"])
+        concepts.update(toks)
+        concepts.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    values = {c: (len(c) % 7 + 1) / 4.0 for c in sorted(concepts)}
+    imodel = LinearImportanceModel([
+        MetaFeature("lenmod", 0.7, values, 0.25),
+        MetaFeature("flat", 0.3, {}, 0.5),
+    ])
+    return MrfModel(
+        dependence="sd",
+        features=[
+            FeatureSpec("term", 0.8, name="termWt", importance="wsd"),
+            FeatureSpec("od", 0.1, width=1, name="orderedWt", importance="wsd"),
+            FeatureSpec("uw", 0.1, width=4, name="unorderedWt"),
+        ],
+        importance_models={"wsd": imodel},
+        normalize_importance=True,
+        pruning_threshold_bigram=0.01,
+        k=10,
+    )
+
+
+def _engine_wsd_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Sequential Dependence (smrf/model/importance): term and
+    ordered-window cliques carry query-dependent importance weights from
+    a LinearImportanceModel (normalized, bigram-pruned), folded through
+    the same float32 MRF kernel — oracle = the SD SQL twin fed the WSD
+    model's combined clique weights."""
+    from ivory_spark.query.mrf import mrf_topk
+
+    index = _engine_index(spark, sf_dir, positional=True)
+    return _round4(mrf_topk(spark, index, IR.GATE_QUERIES, _wsd_gate_model()))
+
+
 _LTR_FEATURE_COLS = ("sdm-termWt", "sdm-orderedWt", "sdm-unorderedWt")
 
 
@@ -893,7 +939,9 @@ def _f32_bm25_clique(tf: str, df: str) -> str:
             + {tf}::FLOAT)))"""
 
 
-def _sql_engine_sd_top10(k: int = 10, stage1_k: int | None = None) -> str:
+def _sql_engine_sd_top10(
+    k: int = 10, stage1_k: int | None = None, model=None
+) -> str:
     """DuckDB float32 oracle for the SD MRF engine path (query/mrf.py).
     stage1_k: when set, restrict SD scoring to the float32-BM25
     top-stage1_k docs per query — the cascade-ranking gate twin
@@ -916,7 +964,11 @@ def _sql_engine_sd_top10(k: int = 10, stage1_k: int | None = None) -> str:
     from ivory_spark.functions.tokenizer import tokenize_py
     from ivory_spark.query.mrf import MrfModel, build_cliques
 
-    model = MrfModel(dependence="sd")
+    if model is None:
+        model = MrfModel(dependence="sd")
+    # build_cliques bakes any importance model into each clique's weight
+    # (WSD combinedWeight), so the VALUES below carry query-dependent
+    # weights automatically — the same clique generator both sides use
     rows = []
     for q in IR.GATE_QUERIES:
         for ci, c in enumerate(build_cliques(tokenize_py(q["query"]), model)):
@@ -1244,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_prf_top10": _engine_prf_top10,
         "engine_lce_top10": _engine_lce_top10,
         "engine_sqe_top10": _engine_sqe_top10,
+        "engine_wsd_top10": _engine_wsd_top10,
         "ltr_features": _ltr_features,
         "ptc_queries": _ptc_queries,
         "multimodal_features": _multimodal_features,
@@ -1402,6 +1455,7 @@ FROM b""",
         "engine_prf_top10": _sql_engine_prf_top10(),
         "engine_lce_top10": _sql_engine_prf_top10(method="lce"),
         "engine_sqe_top10": _sql_engine_sqe_top10(),
+        "engine_wsd_top10": _sql_engine_sd_top10(model=_wsd_gate_model()),
         "ltr_features": _sql_ltr_features(),
         "ptc_queries": _sql_ptc_queries(),
     }

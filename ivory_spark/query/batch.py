@@ -93,7 +93,8 @@ def _parse_feature(node):
             params[name] = raw if isinstance(default, str) else float(raw)
     if cs == "TermCliqueSet":
         return FeatureSpec(
-            "term", weight, scorer=scorer, params=params, name=a.get("id", "")
+            "term", weight, scorer=scorer, params=params, name=a.get("id", ""),
+            importance=a.get("importance", ""),
         )
     kind = "od" if gen == "OrderedWindowExpressionGenerator" else "uw"
     width = int(a.get("width", "1" if kind == "od" else "4"))
@@ -106,7 +107,7 @@ def _parse_feature(node):
         cliques = "full_noncontiguous"  # UnorderedCliqueSet full
     return FeatureSpec(
         kind, weight, width=width, scorer=scorer, params=params, cliques=cliques,
-        name=a.get("id", ""),
+        name=a.get("id", ""), importance=a.get("importance", ""),
     )
 
 
@@ -139,11 +140,24 @@ def parse_model_xml(path_or_text: str, model_id: str | None = None):
         node = nodes[0]
     features = [c for c in node if c.tag == "feature"]
     if features:
+        from ivory_spark.query.importance import parse_importance_models
         from ivory_spark.query.mrf import MrfModel
 
         specs = [_parse_feature(f) for f in features]
         k = int(node.attrib.get("hits", node.attrib.get("k", "10")))
-        if len(specs) == 1 and specs[0].kind == "term" and specs[0].weight == 1.0:
+        # importance models live as <importancemodel> elements beside or
+        # inside the <model> (RetrievalEnvironment.addImportanceModel;
+        # WSD run files reference them via feature importance="id")
+        imodels = parse_importance_models(root)
+        missing = sorted(
+            {s.importance for s in specs if s.importance} - set(imodels)
+        )
+        if missing:
+            raise ValueError(f"importance model(s) not found: {missing}")
+        if (
+            len(specs) == 1 and specs[0].kind == "term"
+            and specs[0].weight == 1.0 and not specs[0].importance
+        ):
             # full independence — bag-of-words semantics, faster path
             # (all five scoring functions supported there)
             return Model(scorer=specs[0].scorer, params=specs[0].params, k=k)
@@ -157,7 +171,15 @@ def parse_model_xml(path_or_text: str, model_id: str | None = None):
                 "(MRF) models; supported: BM25ScoringFunction, "
                 "DirichletScoringFunction"
             )
-        return MrfModel(dependence="sd", features=specs, k=k)
+        return MrfModel(
+            dependence="sd", features=specs, k=k,
+            importance_models=imodels,
+            normalize_importance=node.attrib.get("normalizeImportance", "false")
+            in ("true", "1"),
+            pruning_threshold_bigram=float(
+                node.attrib.get("pruningThresholdBigram", "0.0")
+            ),
+        )
     attrs = dict(node.attrib)
     scorer = attrs.pop("score", attrs.pop("scorer", "bm25"))
     k = int(attrs.pop("hits", attrs.pop("k", "10")))

@@ -248,6 +248,10 @@ class FeatureSpec:
     # extraction groups clique potentials under this name
     # (ltr/ExtractFeatures.java:190 featId = modelName + "-" + paramId)
     name: str = ""
+    # id of a concept-importance model (query/importance.py) — the WSD
+    # machinery: each clique's effective weight becomes weight x
+    # importance(concept) (FeatureBasedMRFBuilder.java:89-110)
+    importance: str = ""
 
 
 @dataclass
@@ -263,6 +267,12 @@ class MrfModel:
         ]
     )
     k: int = 10
+    # WSD extras (FeatureBasedMRFBuilder.java:43-51,118-126): importance
+    # models referenced by FeatureSpec.importance, optional global
+    # importance normalization, and the bigram pruning threshold
+    importance_models: dict = field(default_factory=dict)
+    normalize_importance: bool = False
+    pruning_threshold_bigram: float = 0.0
 
 
 def _subsets_fd(n: int) -> list[tuple[list[int], bool]]:
@@ -317,7 +327,49 @@ def build_cliques(tokens: list[str], model: MrfModel) -> list[dict]:
                 )
         else:
             raise ValueError(feat.kind)
-    return cliques
+    return _apply_importance(cliques, model)
+
+
+def _apply_importance(cliques: list[dict], model: MrfModel) -> list[dict]:
+    """WSD post-pass (FeatureBasedMRFBuilder.java:89-126): for features
+    naming an importance model, each clique's importance = the model's
+    concept weight of its space-joined terms and its effective weight
+    becomes weight x importance (Clique.combinedWeight); non-term
+    cliques below pruning_threshold_bigram are dropped (importance
+    cliques are judged by importance, others by their weight — and the
+    reference accumulates the normalization total BEFORE pruning);
+    normalize_importance divides importances by that total."""
+    needs = any(f.importance for f in model.features)
+    if not needs and model.pruning_threshold_bigram <= 0.0:
+        return cliques
+    kept: list[dict] = []
+    total = F32(0.0)
+    for c in cliques:
+        feat = model.features[c["fid"]]
+        if feat.importance:
+            imodel = model.importance_models.get(feat.importance)
+            if imodel is None:
+                raise ValueError(
+                    f"importance model {feat.importance!r} not found "
+                    f"(have: {sorted(model.importance_models)})"
+                )
+            imp = imodel.clique_weight(c["terms"])
+            c["importance"] = imp
+            total = F32(total + F32(imp))  # pre-pruning, float32 (ref.)
+            w = imp
+        else:
+            w = c["weight"]
+        if w < model.pruning_threshold_bigram and c["kind"] != "term":
+            continue
+        kept.append(c)
+    for c in kept:
+        if "importance" in c:
+            imp = c["importance"]
+            if model.normalize_importance and float(total) != 0.0:
+                imp = float(F32(F32(imp) / total))
+                c["importance"] = imp
+            c["weight"] = float(F32(c["weight"]) * F32(imp))
+    return kept
 
 
 # ---------------------------------------------------------------------------
