@@ -138,6 +138,10 @@ def clique_potentials_batch(
             c["scorer"], c["params"], tf, dl, df, cf, n_docs, avgdl, collection_len
         )
         per_spec[c["fid"]].append(sc)
+        # importance-weighted columns: metafeature value x potential
+        # (ExtractFeatures.java:186-196), float32 per clique
+        for ci, val in c.get("mf", ()):
+            per_spec[ci].append((F32(val) * sc).astype(np.float32))
     return np.column_stack(
         [_aggregate(operators[i], per_spec[i], m) for i in range(n_specs)]
     )
@@ -162,15 +166,71 @@ def _as_mrf(model) -> MrfModel:
 
 
 def feature_columns(models: dict[str, MrfModel | Model]) -> list[str]:
-    """Column names in (model, spec) order: '{model}-{id or kind+idx}'."""
+    """Column names: base '{model}-{id or kind+idx}' in (model, spec)
+    order, then — for specs naming an importance model — the
+    importance-weighted columns '{model}-{metafeature}-{id}'
+    (ExtractFeatures.java:186-196: featId = modelName + "-" +
+    metaFeat.getName() + "-" + paramId, value = metafeature value x
+    clique potential) appended after every base column."""
     names: list[str] = []
     for mname, model in models.items():
         mrf = _as_mrf(model)
         for i, spec in enumerate(mrf.features):
             names.append(f"{mname}-{spec.name or f'{spec.kind}{i}'}")
+    for mname, model in models.items():
+        mrf = _as_mrf(model)
+        for i, spec in enumerate(mrf.features):
+            if not spec.importance:
+                continue
+            imodel = mrf.importance_models.get(spec.importance)
+            if imodel is None:
+                raise ValueError(
+                    f"model {mname!r}: importance model {spec.importance!r} not found"
+                )
+            base = spec.name or f"{spec.kind}{i}"
+            for mf in imodel.metafeatures:
+                names.append(f"{mname}-{mf.name}-{base}")
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate feature column names: {names}")
     return names
+
+
+def _metafeature_map(mrfs: dict) -> dict:
+    """(model name, local spec idx) -> [(global col idx, MetaFeature)]
+    for importance-carrying specs; global indices follow feature_columns'
+    layout (all base columns first, then metafeature columns)."""
+    idx = sum(len(m.features) for m in mrfs.values())
+    out: dict[tuple[str, int], list] = {}
+    for mname, mrf in mrfs.items():
+        for i, spec in enumerate(mrf.features):
+            if not spec.importance:
+                continue
+            imodel = mrf.importance_models[spec.importance]
+            entries = []
+            for mf in imodel.metafeatures:
+                entries.append((idx, mf))
+                idx += 1
+            out[(mname, i)] = entries
+    return out
+
+
+def _combined_cliques(mrfs: dict, kept: list[str], mf_map: dict) -> list[dict]:
+    """One clique list across all models with global fids, plus per-
+    clique metafeature (column, value) pairs for importance specs."""
+    cliques: list[dict] = []
+    offset = 0
+    for mname, mrf in mrfs.items():
+        for c in build_cliques(kept, mrf):
+            c = dict(c)
+            local = c["fid"]
+            c["fid"] = local + offset
+            entries = mf_map.get((mname, local))
+            if entries:
+                concept = " ".join(c["terms"])
+                c["mf"] = [(ci, mf.value(concept)) for ci, mf in entries]
+            cliques.append(c)
+        offset += len(mrf.features)
+    return cliques
 
 
 def extract_features(
@@ -203,6 +263,7 @@ def extract_features(
                 f"{index.root} is not positional"
             )
     col_names = feature_columns(models)
+    mf_map = _metafeature_map(mrfs)
     n_specs = len(col_names)
     op_by_name = operators or {}
     unknown = set(op_by_name) - set(col_names)
@@ -235,15 +296,7 @@ def extract_features(
             print(f"warning: query {qid!r} fully out of vocabulary -- skipping",
                   file=sys.stderr)
             continue
-        cliques: list[dict] = []
-        offset = 0
-        for mname, mrf in mrfs.items():
-            for c in build_cliques(kept, mrf):
-                c = dict(c)
-                c["fid"] += offset
-                cliques.append(c)
-            offset += len(mrf.features)
-        q_cliques[qid] = cliques
+        q_cliques[qid] = _combined_cliques(mrfs, kept, mf_map)
         q_terms[qid] = sorted(set(kept))
 
     feat_schema = "qid string, docno long, feats array<float>"
@@ -401,6 +454,7 @@ def oracle_extract_features(
     stats = {t: (df, cf) for t, (tid, df, cf) in oi.dictionary.items()}
     mrfs = {name: _as_mrf(m) for name, m in models.items()}
     col_names = feature_columns(models)
+    mf_map = _metafeature_map(mrfs)
     op_by_name = operators or {}
     ops = [op_by_name.get(nm, "sum") for nm in col_names]
     default_df = oi.n_docs // 100
@@ -413,14 +467,7 @@ def oracle_extract_features(
         kept = [t for t in tokenize(q["query"]) if t in stats]
         if not kept:
             continue
-        cliques: list[dict] = []
-        offset = 0
-        for mname, mrf in mrfs.items():
-            for c in build_cliques(kept, mrf):
-                c = dict(c)
-                c["fid"] += offset
-                cliques.append(c)
-            offset += len(mrf.features)
+        cliques = _combined_cliques(mrfs, kept, mf_map)
         for docno in sorted(qrels[qid]):
             dl = oi.doclens.get(docno, 0)
             per_spec: list[list[np.ndarray]] = [[] for _ in col_names]
@@ -447,6 +494,10 @@ def oracle_extract_features(
                     oi.n_docs, oi.avgdl, oi.collection_length,
                 )
                 per_spec[c["fid"]].append(np.array([sc], dtype=np.float32))
+                for ci, val in c.get("mf", ()):
+                    per_spec[ci].append(
+                        np.array([F32(F32(val) * sc)], dtype=np.float32)
+                    )
             row = {"qid": qid, "docno": docno, "grade": float(qrels[qid][docno])}
             for i, nm in enumerate(col_names):
                 row[nm] = float(_aggregate(ops[i], per_spec[i], 1)[0])

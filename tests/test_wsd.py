@@ -220,3 +220,49 @@ def test_wsd_rank_identity(spark, wpos_index, tiny_corpus):
         [r["score"] for r in golden[q]] != [r["score"] for r in uni[q]]
         for q in golden
     )
+
+
+def test_wsd_feature_extraction_metafeature_columns(spark, wpos_index, tiny_corpus):
+    """ExtractFeatures' importance-weighted columns: for specs naming an
+    importance model, one extra column per metafeature holding the
+    float32 fold of metafeature-value x clique potential
+    (ExtractFeatures.java:186-196) — engine vs oracle twin bit-exact."""
+    from ivory_spark.query.features import (
+        extract_features,
+        feature_columns,
+        oracle_extract_features,
+    )
+
+    oi = build_oracle_index(tiny_corpus.drop(columns=["sha256"]))
+    imodel = LinearImportanceModel([
+        MetaFeature("cf", 0.7, {"import": 1.3, "import class": 2.0}, 0.4),
+        MetaFeature("len", 0.3, {}, 0.8),
+    ])
+    models = {
+        "w": MrfModel(
+            dependence="sd",
+            features=[
+                FeatureSpec("term", 0.8, name="t", importance="m"),
+                FeatureSpec("od", 0.1, width=1, name="o"),
+            ],
+            importance_models={"m": imodel},
+        )
+    }
+    cols = feature_columns(models)
+    assert cols == ["w-t", "w-o", "w-cf-t", "w-len-t"]
+    qrels = {"q1": {d: float(d % 3) for d in range(1, 40, 3)}}
+    qs = [{"qid": "q1", "query": "import class"}]
+    df = extract_features(spark, wpos_index, qs, qrels, models)
+    golden = oracle_extract_features(oi, qs, qrels, models)
+    got = {(r["qid"], r["docno"]): r.asDict() for r in df.collect()}
+    want = {(r["qid"], r["docno"]): r for r in golden}
+    assert set(got) == set(want) and len(got) > 0
+    nontrivial = 0
+    for key, w in want.items():
+        for nm in cols:
+            assert np.float32(got[key][nm]).view(np.uint32) == np.float32(
+                w[nm]
+            ).view(np.uint32), (key, nm)
+        if w["w-cf-t"] not in (0.0,):
+            nontrivial += 1
+    assert nontrivial > 0  # the metafeature columns carry real values
