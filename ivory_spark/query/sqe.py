@@ -111,6 +111,37 @@ def _parse_node(obj, tokenizer) -> SqeNode:
     raise ValueError(f"unknown operator {op!r}")
 
 
+def build_translated_query(
+    tokens: list[str],
+    ttable: dict[str, list[tuple[str, float]]],
+    max_translations: int = 5,
+    min_prob: float = 0.0,
+) -> dict:
+    """Source-language tokens + translation table -> the probabilistic
+    structured query the CLIR pipeline issues (sqe/querygenerator shape:
+    one #weight node per source token holding its top translations with
+    L1-renormalized probabilities, all under #combine). Tokens with no
+    surviving translation pass through verbatim (their surface form may
+    still match, e.g. names/numbers)."""
+    children: list = []
+    for t in tokens:
+        cands = sorted(
+            [(e, p) for e, p in ttable.get(t, []) if p >= min_prob],
+            key=lambda ep: (-ep[1], ep[0]),
+        )[:max_translations]
+        total = sum(p for _, p in cands)
+        if not cands or total <= 0:
+            children.append(t)
+            continue
+        node: list = []
+        for e, p in cands:
+            node.extend([p / total, e])
+        children.append({"#weight": node})
+    if not children:
+        raise ValueError("empty token list")
+    return {"#combine": children}
+
+
 def query_terms(node: SqeNode) -> set[str]:
     if node.op == "term":
         return {node.term}

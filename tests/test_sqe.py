@@ -163,3 +163,26 @@ def test_phrase_requires_positional_index(spark, tiny_corpus_path, tmp_path_fact
     # term-only structured queries run fine on a flat index
     out = sqe_topk(spark, idx, [{"qid": "x", "query": '{"#weight": [0.9, "import", 0.1, "class"]}'}], k=5)
     assert out.count() > 0
+
+
+def test_build_translated_query(spark, sq_index):
+    """CLIR query construction: per-token #weight of top translations
+    with renormalized probabilities; untranslatable tokens pass through."""
+    from ivory_spark.query.sqe import build_translated_query
+
+    tt = {
+        "fimport": [("import", 0.6), ("public", 0.2), ("def", 0.1)],
+        "fclass": [("class", 0.8)],
+    }
+    q = build_translated_query(["fimport", "fclass", "zzz_nonexistent"], tt,
+                               max_translations=2)
+    w0 = q["#combine"][0]["#weight"]
+    assert w0[1] == "import" and w0[3] == "public"
+    assert w0[0] == pytest.approx(0.75) and w0[2] == pytest.approx(0.25)
+    assert q["#combine"][1]["#weight"] == [1.0, "class"]
+    assert q["#combine"][2] == "zzz_nonexistent"  # pass-through
+    # the generated tree retrieves through the normal sqe path
+    out = sqe_topk(spark, sq_index, [{"qid": "t", "query": q}], k=5).collect()
+    assert len(out) > 0
+    with pytest.raises(ValueError, match="empty"):
+        build_translated_query([], tt)

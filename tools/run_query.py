@@ -49,6 +49,13 @@ def main() -> None:
         help="warm serving mode: no Spark, driver-local kernels "
         "(bm25/sd/fd; bit-identical scores, ~ms latency)",
     )
+    p.add_argument(
+        "--sqe",
+        action="store_true",
+        help="treat each query as a structured sqe query: the JSONL "
+        "'query' field holds a #combine/#weight/#combweight operator "
+        "tree (CLIR tf/df-blending semantics, query/sqe.py)",
+    )
     args = p.parse_args()
 
     from ivory_spark.query.batch import parse_query_jsonl, parse_query_xml, write_trec_run
@@ -58,6 +65,22 @@ def main() -> None:
         if args.queries.endswith(".xml")
         else parse_query_jsonl(args.queries)
     )
+
+    if args.sqe:
+        from ivory_spark.index.reader import open_index
+        from ivory_spark.query.sqe import sqe_topk
+        from ivory_spark.session import get_spark
+
+        spark = get_spark("ivory-query")
+        index = open_index(spark, args.index_root)
+        res = sqe_topk(spark, index, queries, k=args.k)
+        if args.output:
+            n = write_trec_run(res, args.output, tag=args.tag)
+            print(f"wrote {n} result lines to {args.output}")
+        else:
+            for r in res.collect():
+                print(f"{r['qid']} Q0 {r['docid']} {r['rank']} {r['score']:.6f} {args.tag}")
+        return
 
     if args.serve:
         if args.model not in ("bm25", "sd", "fd"):
