@@ -313,7 +313,7 @@ def _ptc_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pseudo-test-collection generation (ops/ptc.py): synthetic anchor
     links derived deterministically from the documents table — anchor
     text = the doc's first two code_v1 tokens, source = the doc, target
-    = (doc_id % 97) + 1 (collisions create multi-link targets) — then
+    = (doc_id % 23) + 1 (collisions create multi-link targets) — then
     the full reference pipeline: anchor inverted index (distinct in-link
     weights), top-5 judgment extractor, sum/count query scores, top-30
     sampling criterion."""

@@ -165,53 +165,74 @@ def _as_mrf(model) -> MrfModel:
     raise TypeError(type(model))
 
 
-def feature_columns(models: dict[str, MrfModel | Model]) -> list[str]:
-    """Column names: base '{model}-{id or kind+idx}' in (model, spec)
-    order, then — for specs naming an importance model — the
-    importance-weighted columns '{model}-{metafeature}-{id}'
-    (ExtractFeatures.java:186-196: featId = modelName + "-" +
-    metaFeat.getName() + "-" + paramId, value = metafeature value x
-    clique potential) appended after every base column."""
+def _columns_meta(models: dict[str, MrfModel | Model]):
+    """-> (col_names, mf_map, base_of): base columns '{model}-{id or
+    kind+idx}' in (model, spec) order; then, for any retrieval model
+    with REGISTERED importance models, one '{model}-{metafeature}-{id}'
+    column per (spec, importance model, metafeature) — the reference
+    emits metafeature columns for EVERY clique parameter whenever
+    importance models exist, not only importance-weighted specs
+    (ExtractFeatures.java:150-175,276-295 iterates all
+    LinearImportanceModels for every clique). mf_map: (model name,
+    local spec idx) -> [(global col idx, MetaFeature)]. base_of maps a
+    metafeature column to its base column (the reference resolves the
+    column's aggregation Operator by modelName-paramId, so metafeature
+    columns inherit the base column's operator,
+    ExtractFeatures.java:289)."""
     names: list[str] = []
     for mname, model in models.items():
         mrf = _as_mrf(model)
         for i, spec in enumerate(mrf.features):
             names.append(f"{mname}-{spec.name or f'{spec.kind}{i}'}")
+    mf_map: dict[tuple[str, int], list] = {}
+    base_of: dict[str, str] = {}
+    idx = len(names)
     for mname, model in models.items():
         mrf = _as_mrf(model)
-        for i, spec in enumerate(mrf.features):
-            if not spec.importance:
-                continue
-            imodel = mrf.importance_models.get(spec.importance)
-            if imodel is None:
+        for spec in mrf.features:
+            if spec.importance and spec.importance not in mrf.importance_models:
                 raise ValueError(
                     f"model {mname!r}: importance model {spec.importance!r} not found"
                 )
-            base = spec.name or f"{spec.kind}{i}"
-            for mf in imodel.metafeatures:
-                names.append(f"{mname}-{mf.name}-{base}")
-    if len(set(names)) != len(names):
-        raise ValueError(f"duplicate feature column names: {names}")
-    return names
-
-
-def _metafeature_map(mrfs: dict) -> dict:
-    """(model name, local spec idx) -> [(global col idx, MetaFeature)]
-    for importance-carrying specs; global indices follow feature_columns'
-    layout (all base columns first, then metafeature columns)."""
-    idx = sum(len(m.features) for m in mrfs.values())
-    out: dict[tuple[str, int], list] = {}
-    for mname, mrf in mrfs.items():
+        if not mrf.importance_models:
+            continue
         for i, spec in enumerate(mrf.features):
-            if not spec.importance:
-                continue
-            imodel = mrf.importance_models[spec.importance]
+            base = spec.name or f"{spec.kind}{i}"
             entries = []
-            for mf in imodel.metafeatures:
-                entries.append((idx, mf))
-                idx += 1
-            out[(mname, i)] = entries
-    return out
+            for imodel in mrf.importance_models.values():
+                for mf in imodel.metafeatures:
+                    col = f"{mname}-{mf.name}-{base}"
+                    names.append(col)
+                    base_of[col] = f"{mname}-{base}"
+                    entries.append((idx, mf))
+                    idx += 1
+            mf_map[(mname, i)] = entries
+    if len(set(names)) != len(names):
+        # the reference's TreeSet would silently collapse same-named
+        # metafeatures across importance models; we refuse instead
+        raise ValueError(f"duplicate feature column names: {names}")
+    return names, mf_map, base_of
+
+
+def feature_columns(models: dict[str, MrfModel | Model]) -> list[str]:
+    """Column names — see _columns_meta."""
+    return _columns_meta(models)[0]
+
+
+def _resolve_ops(col_names, base_of, op_by_name) -> list[str]:
+    """Metafeature columns inherit their base column's operator unless
+    explicitly overridden (the reference resolves by modelName-paramId:
+    ExtractFeatures.java:289)."""
+    ops = []
+    for nm in col_names:
+        op = op_by_name.get(nm)
+        if op is None:
+            op = op_by_name.get(base_of.get(nm, nm), "sum")
+        ops.append(op)
+    for op in ops:
+        if op not in OPERATORS:
+            raise ValueError(f"unknown operator {op!r}; have {OPERATORS}")
+    return ops
 
 
 def _combined_cliques(mrfs: dict, kept: list[str], mf_map: dict) -> list[dict]:
@@ -262,17 +283,13 @@ def extract_features(
                 f"model {name!r} has proximity features but the index at "
                 f"{index.root} is not positional"
             )
-    col_names = feature_columns(models)
-    mf_map = _metafeature_map(mrfs)
+    col_names, mf_map, base_of = _columns_meta(models)
     n_specs = len(col_names)
     op_by_name = operators or {}
     unknown = set(op_by_name) - set(col_names)
     if unknown:
         raise ValueError(f"operators for unknown feature columns: {sorted(unknown)}")
-    ops = [op_by_name.get(nm, "sum") for nm in col_names]
-    for op in ops:
-        if op not in OPERATORS:
-            raise ValueError(f"unknown operator {op!r}; have {OPERATORS}")
+    ops = _resolve_ops(col_names, base_of, op_by_name)
 
     all_tokens = sorted({t for q in queries for t in tokenize(q["query"])})
     dict_rows = index.dictionary.filter(F.col("term").isin(all_tokens)).collect()
@@ -453,10 +470,9 @@ def oracle_extract_features(
     tokenize = get_tokenizer(getattr(oi, "tokenizer", "code_v1")).tokenize_py
     stats = {t: (df, cf) for t, (tid, df, cf) in oi.dictionary.items()}
     mrfs = {name: _as_mrf(m) for name, m in models.items()}
-    col_names = feature_columns(models)
-    mf_map = _metafeature_map(mrfs)
+    col_names, mf_map, base_of = _columns_meta(models)
     op_by_name = operators or {}
-    ops = [op_by_name.get(nm, "sum") for nm in col_names]
+    ops = _resolve_ops(col_names, base_of, op_by_name)
     default_df = oi.n_docs // 100
     default_cf = default_df * 2
     out = []

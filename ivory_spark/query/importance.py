@@ -46,10 +46,21 @@ class LinearImportanceModel:
     def __init__(self, metafeatures: list[MetaFeature]):
         if not metafeatures:
             raise ValueError("importance model needs at least one metafeature")
-        total = sum(mf.weight for mf in metafeatures)
+        # float32 everywhere the reference holds float: the weight total
+        # accumulates in f32 (LinearImportanceModel.java:51
+        # totalMetaFeatureWeight += metaFeatureWeight), and stats-table /
+        # default values are Float.parseFloat'd — materialize them at f32
+        # so no float64 double-rounding can shift a concept weight
+        total = F32(0.0)
+        for mf in metafeatures:
+            total = F32(total + F32(mf.weight))
         self.metafeatures = [
-            MetaFeature(mf.name, float(F32(mf.weight) / F32(total)), mf.values,
-                        mf.default)
+            MetaFeature(
+                mf.name,
+                float(F32(mf.weight) / total),
+                {k: float(F32(v)) for k, v in mf.values.items()},
+                float(F32(mf.default)),
+            )
             for mf in metafeatures
         ]
 
@@ -81,7 +92,7 @@ def read_data_stats(path: str) -> dict[str, float]:
             if not line.strip():
                 continue
             concept, value = line.rstrip("\n").split("\t")[:2]
-            out[concept] = float(value)
+            out[concept] = float(F32(value))  # Float.parseFloat parity
     return out
 
 

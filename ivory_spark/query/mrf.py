@@ -365,8 +365,13 @@ def _apply_importance(cliques: list[dict], model: MrfModel) -> list[dict]:
     for c in kept:
         if "importance" in c:
             imp = c["importance"]
-            if model.normalize_importance and float(total) != 0.0:
-                imp = float(F32(F32(imp) / total))
+            if model.normalize_importance:
+                # no zero guard, like the reference: an all-zero
+                # importance total divides 0f/0f -> NaN weights
+                # (FeatureBasedMRFBuilder.java:118-122 normalizes
+                # unconditionally) — degenerate configs surface loudly
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    imp = float(F32(F32(imp) / total))
                 c["importance"] = imp
             c["weight"] = float(F32(c["weight"]) * F32(imp))
     return kept

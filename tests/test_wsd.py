@@ -46,7 +46,10 @@ def test_metafeature_weight_normalization_f32():
 def test_read_data_stats(tmp_path):
     p = tmp_path / "stats.tsv"
     p.write_text("merge sort\t0.8\nspark\t0.4\n\n")
-    assert read_data_stats(str(p)) == {"merge sort": 0.8, "spark": 0.4}
+    # values materialize at float32 (Float.parseFloat parity)
+    assert read_data_stats(str(p)) == {
+        "merge sort": float(F32("0.8")), "spark": float(F32("0.4"))
+    }
 
 
 def wsd_model(**kw):
@@ -249,7 +252,10 @@ def test_wsd_feature_extraction_metafeature_columns(spark, wpos_index, tiny_corp
         )
     }
     cols = feature_columns(models)
-    assert cols == ["w-t", "w-o", "w-cf-t", "w-len-t"]
+    # the reference emits metafeature columns for EVERY clique parameter
+    # once importance models exist — including the od spec without
+    # importance= (ExtractFeatures.java:150-175)
+    assert cols == ["w-t", "w-o", "w-cf-t", "w-len-t", "w-cf-o", "w-len-o"]
     qrels = {"q1": {d: float(d % 3) for d in range(1, 40, 3)}}
     qs = [{"qid": "q1", "query": "import class"}]
     df = extract_features(spark, wpos_index, qs, qrels, models)

@@ -67,6 +67,19 @@ def main() -> None:
     )
 
     if args.sqe:
+        if args.serve:
+            raise SystemExit("--sqe has no serving mode; drop --serve")
+        import json as _json
+
+        for q in queries:
+            if isinstance(q["query"], str):
+                try:
+                    _json.loads(q["query"])
+                except ValueError:
+                    raise SystemExit(
+                        f"--sqe queries must be #combine/#weight operator "
+                        f"trees (JSON); qid {q['qid']!r} holds plain text"
+                    )
         from ivory_spark.index.reader import open_index
         from ivory_spark.query.sqe import sqe_topk
         from ivory_spark.session import get_spark
