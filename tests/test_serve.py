@@ -118,3 +118,34 @@ def test_serve_sd_matches_spark_and_oracle(spark, served_pos, tiny_corpus):
 def test_serve_sd_requires_positional(served):
     with pytest.raises(ValueError, match="positional"):
         served.search_sd("import class")
+
+
+def test_serve_wsd_matches_oracle(served_pos, tiny_corpus):
+    """Warm serving with a WSD model (query-dependent clique weights):
+    build_cliques bakes the importance into the weights, so the serving
+    tier is bit-identical to the oracle with zero extra plumbing."""
+    from ivory_spark.query.importance import LinearImportanceModel, MetaFeature
+    from ivory_spark.query.mrf import FeatureSpec, MrfModel, oracle_mrf_topk
+
+    model = MrfModel(
+        dependence="sd",
+        features=[
+            FeatureSpec("term", 0.8, importance="m"),
+            FeatureSpec("od", 0.1, width=1, importance="m"),
+            FeatureSpec("uw", 0.1, width=4),
+        ],
+        importance_models={"m": LinearImportanceModel([
+            MetaFeature("cf", 0.7, {"import": 1.6, "import class": 2.5}, 0.4),
+            MetaFeature("flat", 0.3, {}, 0.8),
+        ])},
+        normalize_importance=True,
+        k=10,
+    )
+    oi = build_oracle_index(tiny_corpus.drop(columns=["sha256"]))
+    golden = oracle_mrf_topk(oi, [{"qid": "w", "query": "import class"}], model)["w"]
+    got = LocalSearcher(served_pos).search_sd("import class", k=10, model=model)
+    assert len(got) > 0
+    assert [g["docno"] for g in got] == [w["docno"] for w in golden]
+    gb = np.array([g["score"] for g in got], dtype=np.float32).view(np.uint32)
+    wb = np.array([w["score"] for w in golden], dtype=np.float32).view(np.uint32)
+    assert np.array_equal(gb, wb)
