@@ -1,5 +1,6 @@
 """Scale-up datapoint: the flagship operators at ~10x the per-round
-bench size, on ONE JVM (run solo — see CLAUDE.md host gotchas).
+bench size, on ONE JVM (run solo — see BENCH.md: the host is
+oversubscribed and concurrent JVMs skew every measurement).
 
 What runs (mirrors bench.py's headline set so the numbers are directly
 comparable to BENCH_r{N}.json at 10x input):
