@@ -179,3 +179,22 @@ def test_greedy_learn_derived_features_expand_pool():
         log_features=True,
     )
     assert measure > 0.99
+
+
+def test_line_search_negative_direction():
+    """A feature that anti-correlates with relevance is added with a
+    NEGATIVE alpha (the second grid of LineSearch.java:91-101)."""
+    rng = np.random.RandomState(11)
+    qids, grades, rows = [], [], []
+    for q in range(6):
+        for d in range(8):
+            g = d % 4
+            qids.append(f"q{q}")
+            grades.append(g)
+            # f0: weakly informative; f1: strongly ANTI-correlated
+            rows.append([g * 0.2 + rng.rand(), -2.0 * g + 0.01 * rng.rand()])
+    inst = make_instances(qids, grades, rows, names=["weak", "anti"])
+    model, measure = greedy_learn(inst, metric="ndcg")
+    by_name = dict(zip([f.name for f in model.features], model.weights))
+    assert "anti" in by_name and by_name["anti"] < 0  # negative alpha used
+    assert measure > 0.95
