@@ -386,23 +386,30 @@ def extract_features(
             except Exception:
                 pass  # stopped session from an earlier SparkSession
         extract_features._cached_scored = scored
-        covered = {
-            (r["qid"], r["docno"])
-            for r in scored.select("qid", "docno").collect()
-        }
     else:
         scored = spark.createDataFrame([], feat_schema)
-        covered = set()
 
-    # judged docs whose shard met no postings row: background potentials
-    # (driver-side, bounded by the judgment count)
+    grade_rows = [
+        (qid, int(d), float(g))
+        for qid, js in qrels.items()
+        if qid in q_cliques
+        for d, g in js.items()
+    ]
+    grades = spark.createDataFrame(grade_rows, "qid string, docno long, grade float")
+
+    # judged docs whose shard met no postings row: only the MISSING
+    # (qid, docno) pairs come to the driver (left-anti against the
+    # kernel output — normally a tiny minority of the judgment set),
+    # and their background potentials are computed locally
+    missing_rows = grades.join(
+        scored.select("qid", "docno"), ["qid", "docno"], "left_anti"
+    ).collect()
+    by_qid: dict[str, list[int]] = {}
+    for r in missing_rows:
+        by_qid.setdefault(r["qid"], []).append(int(r["docno"]))
     bg_rows = []
-    for qid, ja in judged.items():
-        missing = np.array(
-            [d for d in ja if (qid, int(d)) not in covered], dtype=np.int64
-        )
-        if len(missing) == 0:
-            continue
+    for qid, docnos in by_qid.items():
+        missing = np.array(sorted(docnos), dtype=np.int64)
         dl_vec = np.array([dl_by_docno.get(int(d), 0) for d in missing], dtype=np.int64)
         feats = clique_potentials_batch(
             q_cliques[qid], {}, dl_vec, stats, n_docs, avgdl, clen, n_specs, ops
@@ -412,13 +419,6 @@ def extract_features(
     if bg_rows:
         scored = scored.unionByName(spark.createDataFrame(bg_rows, feat_schema))
 
-    grade_rows = [
-        (qid, int(d), float(g))
-        for qid, js in qrels.items()
-        if qid in q_cliques
-        for d, g in js.items()
-    ]
-    grades = spark.createDataFrame(grade_rows, "qid string, docno long, grade float")
     out = scored.join(F.broadcast(grades), ["qid", "docno"])
     return _explode_feats(out, col_names)
 
