@@ -186,6 +186,82 @@ class LocalSearcher:
             out.append(row)
         return out
 
+    def search_sqe(
+        self, query, k: int = 10, with_docid: bool = True
+    ) -> list[dict]:
+        """Warm structured-query (sqe) serving: the same tree evaluator
+        as sqe_topk (parse -> candidate mask -> float32 child-ordered
+        folds, TfDf blending) over pyarrow-read runs — bit-identical to
+        the Spark path. `query` is a JSON operator tree (text or dict);
+        phrase leaves need a positional index."""
+        from ivory_spark.index import codec
+        from ivory_spark.query.sqe import (
+            _candidate_mask,
+            _eval_node,
+            _score_of,
+            _walk,
+            parse_structured_query,
+            query_terms,
+        )
+
+        p = self.props
+        tree = parse_structured_query(query, tokenizer=self._tokenize)
+        needs_positions = any(n.op == "phrase" for n in _walk(tree))
+        if needs_positions and not p.get("positional"):
+            raise ValueError("phrase leaves require a positional index")
+        stats = {}
+        termid_of = {}
+        for t in query_terms(tree):
+            meta = self._dict.get(t)
+            if meta is not None:
+                termid_of[t] = int(meta[0])
+                stats[t] = (int(meta[1]), int(meta[2]))
+        if not termid_of:
+            return []
+        term_by_id = {tid: t for t, tid in termid_of.items()}
+        runs = self._runs_for(
+            sorted(term_by_id), positions=bool(p.get("positional"))
+        )
+        decoded = []
+        for row in runs.itertuples(index=False):
+            term = term_by_id.get(int(row.termid))
+            if term is None:
+                continue
+            d, tf, dl = codec.decode_run(bytes(row.blob))
+            pos_blob = getattr(row, "pos_blob", None)
+            flat, iptr = codec.decode_positions_flat(
+                bytes(pos_blob) if pos_blob is not None else b"", tf
+            )
+            decoded.append((term, d.astype(np.int64), tf.astype(np.int64),
+                            dl.astype(np.int64), flat, iptr))
+        if not decoded:
+            return []
+        from ivory_spark.query.mrf import assemble_term_data
+
+        cand = np.unique(np.concatenate([e[1] for e in decoded]))
+        term_data, dl_vec = assemble_term_data(decoded, cand)
+        max_pos = 0
+        for td in term_data.values():
+            if td.flat_pos.size:
+                max_pos = max(max_pos, int(td.flat_pos.max()))
+        n_docs = p["n_docs"]
+        avgdl_int = float(p["collection_length"] // n_docs)
+        mask = _candidate_mask(tree, term_data, stats, len(cand), max_pos)
+        if not mask.any():
+            return []
+        res = _eval_node(tree, term_data, dl_vec, stats, n_docs, avgdl_int, max_pos)
+        scores = _score_of(res, dl_vec, n_docs, avgdl_int)
+        cand, scores = cand[mask], scores[mask]
+        sel = np.lexsort((-cand, -scores.astype(np.float64)))[:k]
+        ids = self.docids([int(cand[i]) for i in sel]) if with_docid else {}
+        out = []
+        for rank, i in enumerate(sel, start=1):
+            row = {"rank": rank, "docno": int(cand[i]), "score": np.float32(scores[i])}
+            if with_docid:
+                row["docid"] = ids.get(int(cand[i]), "")
+            out.append(row)
+        return out
+
     def search(self, query: str, k: int = 10, with_docid: bool = True) -> list[dict]:
         """-> [{rank, docno[, docid], score}] — Ivory tie-break, scores
         bit-identical to bm25_topk / bm25_topk_wand."""

@@ -149,3 +149,27 @@ def test_serve_wsd_matches_oracle(served_pos, tiny_corpus):
     gb = np.array([g["score"] for g in got], dtype=np.float32).view(np.uint32)
     wb = np.array([w["score"] for w in golden], dtype=np.float32).view(np.uint32)
     assert np.array_equal(gb, wb)
+
+
+def test_serve_sqe_matches_oracle(served_pos, tiny_corpus):
+    """Warm structured-query serving is float32 bit-identical to the sqe
+    oracle (same tree evaluator, pyarrow-read runs)."""
+    from ivory_spark.query.sqe import oracle_sqe_topk
+
+    oi = build_oracle_index(tiny_corpus.drop(columns=["sha256"]))
+    searcher = LocalSearcher(served_pos)
+    queries = [
+        '{"#combine": [{"#weight": [0.7, "import", 0.3, "class"]}, "return"]}',
+        '{"#combine": ["public class", "import"]}',  # phrase leaf
+        '{"#weight": [0.8, "import", 0.2, "zzz_nonexistent"]}',  # OOV blend
+    ]
+    for i, q in enumerate(queries):
+        golden = oracle_sqe_topk(oi, [{"qid": f"s{i}", "query": q}], k=10)[f"s{i}"]
+        got = searcher.search_sqe(q, k=10)
+        assert [g["docno"] for g in got] == [w["docno"] for w in golden], q
+        gb = np.array([g["score"] for g in got], dtype=np.float32).view(np.uint32)
+        wb = np.array([w["score"] for w in golden], dtype=np.float32).view(np.uint32)
+        assert np.array_equal(gb, wb), q
+        assert len(got) > 0
+    # fully OOV -> empty
+    assert searcher.search_sqe('{"#combine": ["zzz_nonexistent"]}') == []
