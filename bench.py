@@ -15,6 +15,7 @@ tools/bench_scaling.py and recorded in BENCH.md.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
@@ -24,6 +25,72 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_DOCS = int(os.environ.get("IVORY_BENCH_DOCS", "50000"))
+# Large-scale block (>=500k-doc build + WAND + 10x dedup + 10x IVF),
+# recorded under the "big" key OUTSIDE the headline total so round-over-
+# round comparisons stay stable. Default ON (the driver record needs the
+# datapoint); set IVORY_BENCH_BIG_DOCS=0 to skip when iterating locally.
+BIG_DOCS = int(os.environ.get("IVORY_BENCH_BIG_DOCS", "500000"))
+
+_CLK_TCK = os.sysconf("SC_CLK_TCK")
+
+
+def proc_tree_cpu_sec() -> float:
+    """CPU seconds (utime+stime) consumed by this process and every live
+    descendant — the Spark JVM and its forked python/Arrow workers all
+    descend from this driver. Deltas around a timed section give the
+    section's actual CPU work, which is stable across host-load swings
+    while wall time is not: that is the evidence that separates "code got
+    slower" (cpu_sec grows) from "the sandbox was busy" (cpu_sec flat,
+    wall grows). Dead children are missed; Spark workers live for the
+    whole run, so section deltas are accurate in practice."""
+    ppid_of: dict[int, int] = {}
+    cpu_of: dict[int, float] = {}
+    for stat in glob.glob("/proc/[0-9]*/stat"):
+        try:
+            with open(stat) as f:
+                data = f.read()
+        except OSError:
+            continue
+        # comm can contain spaces/parens: split at the LAST ')'
+        rest = data.rsplit(")", 1)[1].split()
+        pid = int(data.split()[0])
+        ppid_of[pid] = int(rest[1])  # field 4
+        cpu_of[pid] = (int(rest[11]) + int(rest[12])) / _CLK_TCK  # 14+15
+    me, total, frontier = os.getpid(), 0.0, [os.getpid()]
+    kids: dict[int, list[int]] = {}
+    for pid, ppid in ppid_of.items():
+        kids.setdefault(ppid, []).append(pid)
+    while frontier:
+        pid = frontier.pop()
+        total += cpu_of.get(pid, 0.0)
+        frontier.extend(kids.get(pid, []))
+    return total
+
+
+def loadavg1() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
+def host_probe(spark, cpus: int) -> float:
+    """Pure-CPU sha256 probe (no engine code/IO): effective-cores ceiling
+    the oversubscribed sandbox delivers right now. 4x rows on cpus
+    threads vs 1 thread -> speedup/(cpus/4) = delivered efficiency."""
+    import pyspark.sql.functions as F
+
+    probe = spark.range(0, 6_000_000, 1, cpus).select(
+        F.sha2(F.col("id").cast("string"), 256).alias("h")
+    )
+    probe.count()  # warm
+    t0 = time.monotonic()
+    probe.select(F.max("h")).collect()
+    par_sec = time.monotonic() - t0
+    one = spark.range(0, 1_500_000, 1, 1).select(
+        F.sha2(F.col("id").cast("string"), 256).alias("h")
+    )
+    t0 = time.monotonic()
+    one.select(F.max("h")).collect()
+    return 4.0 * (time.monotonic() - t0) / par_sec
 
 
 def ensure_bench_corpus(path: str, n_docs: int) -> str:
@@ -33,6 +100,91 @@ def ensure_bench_corpus(path: str, n_docs: int) -> str:
 
         write_corpus(path, n_docs, seed=13)
     return pq
+
+
+def read_stage_walls(index_root: str) -> dict[str, float]:
+    out = {}
+    for p in sorted(glob.glob(os.path.join(index_root, "_manifests", "*.json"))):
+        try:
+            with open(p) as f:
+                m = json.load(f)
+            out[m["stage"]] = m["wall_time_sec"]
+        except (OSError, KeyError, json.JSONDecodeError):
+            pass
+    return out
+
+
+def big_block(spark, n_docs: int, cpus: int, sf_dir: str,
+              build_partitions: int) -> dict:
+    """>=500k-doc scale datapoint: build + WAND batch + 10x-replicated
+    minhash dedup + 10x IVF ANN. Shared by bench.py (driver-visible,
+    under the "big" key) and tools/bench_big.py (solo runs)."""
+    import pyspark.sql.functions as F
+
+    from ivory_spark.corpus import QUERY_SET
+    from ivory_spark.index.build import IndexConfig, build_index
+    from ivory_spark.index.reader import open_index
+    from ivory_spark.ops.dedup import minhash_dedup_pairs
+    from ivory_spark.ops.similarity import ivf_topk, query_vectors
+    from ivory_spark.query.wand import bm25_topk_wand
+    from ivory_spark.sources.testdata import read_table
+
+    out: dict = {"n_docs": n_docs, "cpus": cpus,
+                 "build_partitions": build_partitions}
+    corpus_path = ensure_bench_corpus(
+        os.path.join("/tmp", f"ivory_bench_corpus_{n_docs}"), n_docs
+    )
+    root = os.path.join("/tmp", f"ivory_big_index_{n_docs}_{cpus}")
+    shutil.rmtree(root, ignore_errors=True)
+    c0, t0 = proc_tree_cpu_sec(), time.monotonic()
+    props = build_index(
+        spark, corpus_path, root,
+        IndexConfig(salt_threshold=n_docs // 10, n_shards=cpus,
+                    partitions=build_partitions),
+    )
+    build_sec = time.monotonic() - t0
+    out["build_sec"] = round(build_sec, 3)
+    out["build_cpu_sec"] = round(proc_tree_cpu_sec() - c0, 1)
+    out["built_docs"] = props["n_docs"]
+    out["docs_per_sec"] = round(props["n_docs"] / build_sec, 1)
+    out["build_stage_sec"] = read_stage_walls(root)
+
+    index = open_index(spark, root)
+    bm25_topk_wand(spark, index, QUERY_SET[:2], k=10).collect()  # warm
+    t0 = time.monotonic()
+    bm25_topk_wand(spark, index, QUERY_SET, k=10).collect()
+    out["wand_batch15_sec"] = round(time.monotonic() - t0, 3)
+
+    docs = read_table(spark, sf_dir, "documents")
+    reps = F.explode(F.sequence(F.lit(0), F.lit(9))).alias("rep")
+    docs10 = docs.select("*", reps).select(
+        (F.col("doc_id") + F.col("rep") * F.lit(1_000_000)).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" rep"), F.col("rep").cast("string")
+        ).alias("text"),
+        "source",
+    ).persist()
+    out["dedup10x_docs"] = docs10.count()
+    t0 = time.monotonic()
+    out["dedup10x_pairs"] = minhash_dedup_pairs(
+        docs10, threshold=0.8, max_bucket=64
+    ).count()
+    out["dedup10x_sec"] = round(time.monotonic() - t0, 3)
+    docs10.unpersist()
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    emb10 = emb.select("*", reps).select(
+        (F.col("vec_id") + F.col("rep") * F.lit(1_000_000)).alias("vec_id"),
+        "embedding",
+    ).persist()
+    out["ivf10x_rows"] = emb10.count()
+    qv = query_vectors(spark, emb10, 10)
+    ivf_topk(emb10, qv, k=5, n_centroids=16, nprobe=6).collect()  # warm
+    t0 = time.monotonic()
+    ivf_topk(emb10, qv, k=5, n_centroids=16, nprobe=6).collect()
+    out["ivf10x_sec"] = round(time.monotonic() - t0, 3)
+    emb10.unpersist()
+    return out
 
 
 def main() -> None:
@@ -53,29 +205,15 @@ def main() -> None:
 
     spark = get_spark("ivory-bench", cores=cpus, shuffle_partitions=cpus)
     timings: dict[str, float] = {}
+    cpu_secs: dict[str, float] = {}
 
-    # pure-CPU host probe (no engine code, no I/O): how much of local[cpus]
-    # this oversubscribed sandbox can actually deliver right now. nproc
-    # advertises 32 but delivery varies 8-32-equivalent with neighbor
-    # load; recording the ceiling makes the engine numbers interpretable
-    # across rounds (same methodology as tools/bench_scaling.py).
-    from pyspark.sql import functions as F
-
-    probe = spark.range(0, 6_000_000, 1, cpus).select(
-        F.sha2(F.col("id").cast("string"), 256).alias("h")
-    )
-    probe.count()  # warm
-    t0 = time.monotonic()
-    probe.select(F.max("h")).collect()
-    probe_par_sec = time.monotonic() - t0
-    probe1 = spark.range(0, 1_500_000, 1, 1).select(
-        F.sha2(F.col("id").cast("string"), 256).alias("h")
-    )
-    t0 = time.monotonic()
-    probe1.select(F.max("h")).collect()
-    probe_one_sec = time.monotonic() - t0
-    # 4x the rows on cpus threads vs 1 thread: speedup/(cpus/4) = efficiency
-    host_speedup = 4.0 * probe_one_sec / probe_par_sec
+    # host-load evidence bracket: CPU-ceiling probe + loadavg before AND
+    # after the run, plus per-section CPU-seconds (proc_tree_cpu_sec) —
+    # together they let any reader decide whether a wall-time delta vs a
+    # prior round is engine work (cpu_sec changed) or sandbox load
+    # (cpu_sec flat, ceiling/loadavg worse).
+    load_pre = loadavg1()
+    host_speedup = host_probe(spark, cpus)
 
     # size build parallelism to MEASURED effective cores, not the
     # advertised count: on this oversubscribed sandbox local[32] can
@@ -89,7 +227,7 @@ def main() -> None:
     # --- headline 1: index build throughput (fresh build, salted) --------
     index_root = os.path.join("/tmp", f"ivory_bench_index_{BENCH_DOCS}_{cpus}")
     shutil.rmtree(index_root, ignore_errors=True)
-    t0 = time.monotonic()
+    c0, t0 = proc_tree_cpu_sec(), time.monotonic()
     props = build_index(
         spark,
         corpus_path,
@@ -100,15 +238,18 @@ def main() -> None:
     )
     build_sec = time.monotonic() - t0
     timings["index_build"] = round(build_sec, 3)
+    cpu_secs["index_build"] = round(proc_tree_cpu_sec() - c0, 1)
+    build_stage_sec = read_stage_walls(index_root)
     docs_per_sec = props["n_docs"] / build_sec
 
     # --- headline 2: BM25 top-10 WAND latency (warm, batch of 15) --------
     index = open_index(spark, index_root)
     bm25_topk_wand(spark, index, QUERY_SET[:2], k=10).collect()  # warm workers
-    t0 = time.monotonic()
+    c0, t0 = proc_tree_cpu_sec(), time.monotonic()
     n_rows = bm25_topk_wand(spark, index, QUERY_SET, k=10).collect()
     wand_sec = time.monotonic() - t0
     timings["wand_topk_batch15"] = round(wand_sec, 3)
+    cpu_secs["wand_topk_batch15"] = round(proc_tree_cpu_sec() - c0, 1)
     per_query_ms = wand_sec / len(QUERY_SET) * 1000
 
     # single-query latency (includes Spark scheduling floor) — the
@@ -167,9 +308,10 @@ def main() -> None:
     ).collect()
 
     for name, fn in gate.items():
-        t0 = time.monotonic()
+        c0, t0 = proc_tree_cpu_sec(), time.monotonic()
         fn()
         timings[name] = round(time.monotonic() - t0, 3)
+        cpu_secs[name] = round(proc_tree_cpu_sec() - c0, 1)
 
     # --- diagnostic datapoints (top-level keys, outside `queries` so the
     # headline total stays comparable across rounds) -----------------------
@@ -272,6 +414,18 @@ def main() -> None:
     finally:
         shutil.rmtree(sdir, ignore_errors=True)
 
+    # bracket close: same probe/loadavg after the run — a round whose two
+    # ceilings disagree ran on a host whose load shifted mid-measurement.
+    host_speedup_post = host_probe(spark, cpus)
+    load_post = loadavg1()
+
+    big = None
+    if BIG_DOCS > 0:
+        try:
+            big = big_block(spark, BIG_DOCS, cpus, sf_dir, build_partitions)
+        except Exception as e:  # never let the scale block kill the record
+            big = {"error": f"{type(e).__name__}: {e}"}
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "index-build + BM25 top-10 + pipeline ops wall time",
@@ -296,6 +450,14 @@ def main() -> None:
         # measured solo by tools/bench_scaling.py (scaling_result.json,
         # BENCH.md) on fresh JVMs at two parallelism levels.
         "host_cpu_ceiling_speedup": round(host_speedup, 2),
+        "host_cpu_ceiling_speedup_post": round(host_speedup_post, 2),
+        "loadavg_pre": load_pre,
+        "loadavg_post": load_post,
+        # per-section CPU-seconds across the whole process tree (JVM +
+        # Arrow workers): flat cpu_sec + worse ceiling = host load, not a
+        # code regression. Engine regressions show up HERE.
+        "queries_cpu_sec": cpu_secs,
+        "build_stage_sec": build_stage_sec,
         "build_partitions": build_partitions,
         # diagnostics (outside `queries` to keep the headline comparable)
         "positional_build_sec": pos_build_sec,
@@ -308,6 +470,8 @@ def main() -> None:
         "galago_en_docs_per_sec": round(ndocs_nl / galago_sec, 1),
         "streaming_dedup_docs_per_sec": stream_docs_per_sec,
     }
+    if big is not None:
+        out["big"] = big
     print(json.dumps(out))
 
 
