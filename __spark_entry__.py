@@ -309,6 +309,29 @@ def _engine_cascade_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_cascade_pruned_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascade with a CascadeEval pruning function between stages
+    (query/cascade.prune_retain_size, CascadeEval.java:148-227): WAND
+    keeps the top 20, an SD stage ranks ALL survivors and the mean-max
+    pruner (param 0.6, K floor 3) retains the leading float32-threshold
+    run, then the final SD stage cuts to 10. Both MRF stages share the
+    SD model on purpose: the output is then exactly the pruned prefix of
+    the ranked list, so the gate hash pins the float32 retain-size
+    computation itself."""
+    from ivory_spark.query.cascade import cascade_topk
+    from ivory_spark.query.mrf import MrfModel
+
+    index = _engine_index(spark, sf_dir, positional=True)
+    stages = [
+        {"model": MrfModel(dependence="sd"), "pruner": "mean-max",
+         "pruner_param": 0.6, "K": 3},
+        {"model": MrfModel(dependence="sd"), "k": 10},
+    ]
+    return _round4(
+        cascade_topk(spark, index, IR.GATE_QUERIES, stage1_k=20, stages=stages)
+    )
+
+
 def _ptc_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pseudo-test-collection generation (ops/ptc.py): synthetic anchor
     links derived deterministically from the documents table — anchor
@@ -940,12 +963,18 @@ def _f32_bm25_clique(tf: str, df: str) -> str:
 
 
 def _sql_engine_sd_top10(
-    k: int = 10, stage1_k: int | None = None, model=None
+    k: int = 10, stage1_k: int | None = None, model=None,
+    pruner: str | None = None, pruner_param: float = 0.0, prune_K: int = 10,
 ) -> str:
     """DuckDB float32 oracle for the SD MRF engine path (query/mrf.py).
     stage1_k: when set, restrict SD scoring to the float32-BM25
     top-stage1_k docs per query — the cascade-ranking gate twin
     (query/cascade.cascade_topk: WAND stage 1, SD rerank of survivors).
+    pruner: when set ("mean-max"), apply the CascadeEval pruning function
+    (query/cascade.prune_retain_size, CascadeEval.java:148-227) to the
+    ranked SD list before the final top-k cut: float32 threshold =
+    param*max + (1-param)*mean with the mean a rank-ordered float32 fold,
+    a K floor of prune_K, and the leading >=-threshold run retained.
 
     Clique list (term cliques per token occurrence, #od1 / #uw8 adjacent
     pairs) is generated by the same build_cliques the engine uses and
@@ -1000,6 +1029,29 @@ cand1 AS (SELECT qid, docno FROM (
                row_number() OVER (PARTITION BY qid ORDER BY score DESC, docno DESC) AS rnk
         FROM s1) WHERE rnk <= {stage1_k})"""
         stage1_join = "JOIN cand1 USING (qid, docno)"
+    prune_ctes, prune_join, prune_pred = "", "", ""
+    if pruner is not None:
+        if pruner != "mean-max":
+            raise ValueError("the SQL twin implements the mean-max pruner")
+        p32 = repr(float(_np.float32(pruner_param)))
+        one_minus = repr(float(_np.float32(1.0) - _np.float32(pruner_param)))
+        prune_ctes = f""",
+pstat AS (
+  SELECT qid, count(*)::INT AS n, max(score)::FLOAT AS mx,
+         (list_reduce(list(score ORDER BY rank), (a, b) -> (a + b)::FLOAT)
+          / count(*)::FLOAT)::FLOAT AS mean
+  FROM top GROUP BY qid),
+pthr AS (SELECT qid, n,
+         (({p32}::FLOAT * mx)::FLOAT + ({one_minus}::FLOAT * mean)::FLOAT)::FLOAT AS thr
+         FROM pstat),
+praw AS (SELECT t.qid, p.n,
+         COALESCE(min(t.rank) FILTER (WHERE t.score < p.thr) - 1, p.n) AS r
+         FROM top t JOIN pthr p USING (qid) GROUP BY t.qid, p.n, p.thr),
+pret AS (SELECT qid,
+         least(CASE WHEN r < {prune_K} THEN least({prune_K}, n) ELSE r END, n) AS retain
+         FROM praw)"""
+        prune_join = "JOIN pret ON pret.qid = t.qid "
+        prune_pred = " AND t.rank <= pret.retain"
     return f"""
 WITH {_ENGINE_CTES}, {cl_values}{stage1},
 epos AS (SELECT p.docno, p.term, p.pos FROM (
@@ -1064,10 +1116,10 @@ scored AS (
   FROM allc {stage1_join} GROUP BY qid, docno),
 top AS (SELECT qid, docno, score,
         row_number() OVER (PARTITION BY qid ORDER BY score DESC, docno DESC)::INT AS rank
-        FROM scored)
+        FROM scored){prune_ctes}
 SELECT t.qid, t.rank, t.docno, {_ENGINE_DOCID} AS docid,
        round(t.score::DOUBLE, 4) AS score
-FROM top t JOIN edocmap d USING (docno) WHERE t.rank <= {k}
+FROM top t JOIN edocmap d USING (docno) {prune_join}WHERE t.rank <= {k}{prune_pred}
 """
 
 
@@ -1292,6 +1344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_f2exp_top10": lambda s, d: _engine_scored(s, d, "f2exp"),
         "engine_sd_top10": _engine_sd_top10,
         "engine_cascade_top10": _engine_cascade_top10,
+        "engine_cascade_pruned_top10": _engine_cascade_pruned_top10,
         "engine_xml_sd_top10": _engine_xml_sd_top10,
         "engine_prf_top10": _engine_prf_top10,
         "engine_lce_top10": _engine_lce_top10,
@@ -1449,6 +1502,9 @@ FROM b""",
         "engine_f2exp_top10": _sql_engine_scored_top10("f2exp"),
         "engine_sd_top10": _sql_engine_sd_top10(),
         "engine_cascade_top10": _sql_engine_sd_top10(stage1_k=20),
+        "engine_cascade_pruned_top10": _sql_engine_sd_top10(
+            stage1_k=20, pruner="mean-max", pruner_param=0.6, prune_K=3
+        ),
         "engine_xml_sd_top10": _sql_engine_sd_top10(),
         "ann_lsh_top5": _sql_ann_lsh_top5(),
         "ann_ivf_top5": _sql_ann_ivf_top5(),

@@ -191,3 +191,97 @@ def test_candidates_df_matches_dict_path(spark, pos_idx, oi):
     assert len(via_dict) > 0
     with pytest.raises(ValueError, match="not both"):
         mrf_topk(spark, pos_idx, QS, model, candidates=cand, candidates_df=cdf)
+
+
+# ---------------------------------------------------------------------------
+# CascadeEval pruning functions (CascadeEval.java:148-227)
+# ---------------------------------------------------------------------------
+
+from ivory_spark.query.cascade import (  # noqa: E402
+    DEFAULT_NUM_DOCS,
+    prune_retain_size,
+)
+
+
+def test_prune_retain_size_score():
+    s = np.array([10, 8, 6, 4, 2], dtype=np.float32)
+    # thr = (10-2)*0.5 + 2 = 6 -> leading run with score >= 6
+    assert prune_retain_size(s, "score", 0.5, K=2) == 3
+    # K floor lifts a too-aggressive prune
+    assert prune_retain_size(s, "score", 0.99, K=4) == 4
+    # cap at list length when K > n
+    assert prune_retain_size(s, "score", 0.0, K=9) == 5
+
+
+def test_prune_retain_size_mean_max():
+    s = np.array([10, 8, 6, 4, 2], dtype=np.float32)
+    # mean = 6, thr = 0.5*10 + 0.5*6 = 8 -> keeps [10, 8]
+    assert prune_retain_size(s, "mean-max", 0.5, K=1) == 2
+    # param=0 -> thr = mean -> keeps everything >= 6
+    assert prune_retain_size(s, "mean-max", 0.0, K=1) == 3
+
+
+def test_prune_retain_size_rank():
+    s = np.arange(10, 0, -1).astype(np.float32)
+    assert prune_retain_size(s, "rank", 0.3, K=1) == 7  # drop bottom 30%
+    assert prune_retain_size(s[:5], "rank", 0.3, K=1) == 3  # int(3.5)
+
+
+def test_prune_retain_size_zscore_is_k_floor():
+    """The reference computes z-scores and never uses them
+    (CascadeEval.java:192-209): retain falls through to the K floor —
+    and to 0 in training mode (K == defaultNumDocs) on short lists."""
+    s = np.array([9, 7, 5], dtype=np.float32)
+    assert prune_retain_size(s, "z-score", 1.5, K=2) == 2
+    assert prune_retain_size(s, "z-score", 1.5, K=DEFAULT_NUM_DOCS) == 0
+
+
+def test_prune_retain_size_rejects_unknown():
+    with pytest.raises(ValueError, match="not supported"):
+        prune_retain_size(np.ones(3, dtype=np.float32), "entropy", 0.5, K=1)
+    assert prune_retain_size(np.empty(0, dtype=np.float32), "score", 0.5, K=3) == 0
+
+
+@pytest.mark.parametrize("pruner,param", [
+    ("score", 0.4), ("mean-max", 0.5), ("rank", 0.3), ("z-score", 1.0),
+])
+def test_cascade_pruner_rank_identity(spark, pos_idx, oi, pruner, param):
+    """Each pruning function, between an SD stage and an FD stage, is
+    bit-exact vs the oracle composition (shared prune_retain_size
+    kernel over shared-scoring ranked lists)."""
+    stages = [
+        {"model": MrfModel(dependence="sd"), "pruner": pruner,
+         "pruner_param": param, "K": 4},
+        {"model": MrfModel(dependence="fd"), "k": 5},
+    ]
+    golden = oracle_cascade_topk(oi, QS, stage1_k=25, stages=stages)
+    res = cascade_topk(spark, pos_idx, QS, stage1_k=25, stages=stages)
+    assert any(golden[q["qid"]] for q in QS)
+    _match_golden(res, golden)
+
+
+def test_cascade_pruner_rejected_on_final_stage(spark, pos_idx):
+    stages = [{"model": MrfModel(dependence="sd"), "k": 5,
+               "pruner": "score", "pruner_param": 0.5}]
+    with pytest.raises(ValueError, match="between stages"):
+        cascade_topk(spark, pos_idx, QS[:1], stage1_k=10, stages=stages)
+
+
+def test_cascade_pruner_with_costs(spark, pos_idx):
+    """Cost accounting composes with pruner stages (persist+count path)
+    and does not change the ranking."""
+    stages = [
+        {"model": MrfModel(dependence="sd"), "pruner": "mean-max",
+         "pruner_param": 0.5, "K": 3},
+        {"model": MrfModel(dependence="fd"), "k": 5},
+    ]
+    costs = {}
+    with_costs = cascade_topk(spark, pos_idx, QS[:2], stage1_k=15,
+                              stages=stages, costs=costs).collect()
+    plain = cascade_topk(spark, pos_idx, QS[:2], stage1_k=15,
+                         stages=stages).collect()
+    assert [(r["qid"], r["docno"], r["score"]) for r in with_costs] == [
+        (r["qid"], r["docno"], r["score"]) for r in plain
+    ]
+    s0, s1, s2 = costs["stages"]
+    assert s2["docs_scored"] == s1["candidate_docs"] <= s0["candidate_docs"]
