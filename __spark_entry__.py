@@ -332,6 +332,104 @@ def _engine_cascade_pruned_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext parallel-sentence mining (ops/bitext.py, reproducing
+    ivory/lsh/bitext/FindParallelSentencePairs.java) over a deterministic
+    two-language fixture from the documents table: even doc_ids are the
+    "English" side, odd doc_ids the "foreign" side, candidate doc pairs
+    are (e, e+1), and the translation table is the identity over foreign
+    tokens of length <= 8 (longer tokens have no translation — exercising
+    the untranslatable-term drop). Full pipeline: sentence split +
+    MinSentenceLength/MinVectorTerms filters, vector translation, 2x
+    length-ratio cutoff, cosine >= 0.6."""
+    from ivory_spark.ops.bitext import (
+        docs_to_sentences,
+        find_parallel_sentence_pairs,
+        translate_vectors,
+    )
+
+    docs = _docs(spark, sf_dir)
+    e_sents = docs_to_sentences(
+        docs.filter(F.col("doc_id") % 2 == 0), docno_col="doc_id", text_col="text"
+    )
+    f_sents = docs_to_sentences(
+        docs.filter(F.col("doc_id") % 2 == 1), docno_col="doc_id", text_col="text"
+    )
+    # ttable is a broadcast model artifact by nature; collecting the
+    # short-token foreign vocabulary stands in for loading one
+    vocab = sorted(
+        r[0]
+        for r in f_sents.select(
+            F.explode(F.map_keys("vector")).alias("t")
+        ).distinct().collect()
+        if len(r[0]) <= 8
+    )
+    f_tr = translate_vectors(f_sents, {t: [(t, 1.0)] for t in vocab})
+    ids = docs.select("doc_id")
+    pairs = (
+        ids.filter(F.col("doc_id") % 2 == 0)
+        .select(F.col("doc_id").alias("e_docno"), (F.col("doc_id") + 1).alias("f_docno"))
+        .join(ids.select(F.col("doc_id").alias("f_docno")), "f_docno")
+    )
+    return find_parallel_sentence_pairs(pairs, e_sents, f_tr, threshold=0.6)
+
+
+def _sql_bitext_pairs(threshold: float = 0.6) -> str:
+    """DuckDB twin of _bitext_pairs: tf vectors are integer-valued
+    doubles, so every sum (dot, squared norms) is exact regardless of
+    fold order — cosine is bit-deterministic without ordered folds."""
+    rx = "[a-z_][a-z0-9_]*|[0-9]+"
+    side = (
+        "SELECT docno, gs - 1 AS sent_id, sentence, "
+        f"list_filter(regexp_extract_all(lower(sentence), '{rx}'), "
+        "t -> length(t) <= 126) AS toks "
+        "FROM (SELECT doc_id AS docno, "
+        "unnest(regexp_split_to_array(text, '[.!?\\n。！？]+')) AS sentence, "
+        "generate_subscripts(regexp_split_to_array(text, '[.!?\\n。！？]+'), 1) AS gs "
+        "FROM documents WHERE {cond}) WHERE trim(sentence) != ''"
+    )
+    return f"""
+WITH eraw AS ({side.format(cond='doc_id % 2 = 0')}),
+fraw AS ({side.format(cond='doc_id % 2 = 1')}),
+elen AS (SELECT docno, sent_id, sentence, len(toks) AS length, toks FROM eraw WHERE len(toks) >= 5),
+flen AS (SELECT docno, sent_id, sentence, len(toks) AS length, toks FROM fraw WHERE len(toks) >= 5),
+etf AS (SELECT docno, sent_id, t AS term, count(*)::DOUBLE AS w
+        FROM (SELECT docno, sent_id, unnest(toks) AS t FROM elen) GROUP BY ALL),
+ftf AS (SELECT docno, sent_id, t AS term, count(*)::DOUBLE AS w
+        FROM (SELECT docno, sent_id, unnest(toks) AS t FROM flen) GROUP BY ALL),
+evok AS (SELECT docno, sent_id FROM etf GROUP BY docno, sent_id HAVING count(DISTINCT term) >= 3),
+fvok AS (SELECT docno, sent_id FROM ftf GROUP BY docno, sent_id HAVING count(DISTINCT term) >= 3),
+ettf AS (SELECT e.* FROM etf e JOIN evok USING (docno, sent_id)),
+fttf AS (SELECT f.* FROM ftf f JOIN fvok USING (docno, sent_id) WHERE length(term) <= 8),
+emeta AS (SELECT l.docno, l.sent_id, l.sentence, l.length FROM elen l JOIN evok USING (docno, sent_id)),
+fmeta AS (SELECT l.docno, l.sent_id, l.sentence, l.length
+          FROM flen l JOIN (SELECT DISTINCT docno, sent_id FROM fttf) s USING (docno, sent_id)),
+enorm AS (SELECT docno, sent_id, sqrt(sum(w*w)) AS nrm FROM ettf GROUP BY ALL),
+fnorm AS (SELECT docno, sent_id, sqrt(sum(w*w)) AS nrm FROM fttf GROUP BY ALL),
+pairs AS (SELECT a.doc_id AS e_docno, b.doc_id AS f_docno FROM documents a
+          JOIN documents b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id % 2 = 0),
+cand AS (SELECT p.e_docno, p.f_docno, e.sent_id AS e_sent_id, f.sent_id AS f_sent_id,
+                e.sentence AS e_sentence, f.sentence AS f_sentence
+         FROM pairs p JOIN emeta e ON e.docno = p.e_docno
+         JOIN fmeta f ON f.docno = p.f_docno
+         WHERE NOT (e.length > 2.0*f.length OR f.length > 2.0*e.length)),
+dots AS (SELECT c.e_docno, c.f_docno, c.e_sent_id, c.f_sent_id, sum(e.w * f.w) AS dot
+         FROM cand c JOIN ettf e ON e.docno = c.e_docno AND e.sent_id = c.e_sent_id
+         JOIN fttf f ON f.docno = c.f_docno AND f.sent_id = c.f_sent_id AND f.term = e.term
+         GROUP BY ALL)
+SELECT c.e_docno, c.f_docno, c.e_sent_id::INT AS e_sent_id, c.f_sent_id::INT AS f_sent_id,
+       c.e_sentence, c.f_sentence,
+       round(CASE WHEN en.nrm > 0 AND fn.nrm > 0
+                  THEN coalesce(d.dot, 0) / (en.nrm * fn.nrm) ELSE 0 END, 6) AS cosine
+FROM cand c
+LEFT JOIN dots d USING (e_docno, f_docno, e_sent_id, f_sent_id)
+JOIN enorm en ON en.docno = c.e_docno AND en.sent_id = c.e_sent_id
+JOIN fnorm fn ON fn.docno = c.f_docno AND fn.sent_id = c.f_sent_id
+WHERE CASE WHEN en.nrm > 0 AND fn.nrm > 0
+           THEN coalesce(d.dot, 0) / (en.nrm * fn.nrm) ELSE 0 END >= {threshold}
+"""
+
+
 def _ptc_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pseudo-test-collection generation (ops/ptc.py): synthetic anchor
     links derived deterministically from the documents table — anchor
@@ -564,6 +662,15 @@ def _engine_wsd_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LTR_FEATURE_COLS = ("sdm-termWt", "sdm-orderedWt", "sdm-unorderedWt")
 
+# Fixed "hand-learned" ranking model for the ltr_model_scores gate: one
+# of each LtrFeature kind over the three base columns, scored with the
+# sequential float32 translate fold (ltr.py LearnedModel.score,
+# reproducing ivory/ltr Rank.java:55-60 / ScoreTable.java:40-46).
+_LTR_GATE_FEATURES = (
+    ("simple", 0, -1), ("log", 1, -1), ("product", 0, 2), ("quotient", 2, 0),
+)
+_LTR_GATE_WEIGHTS = (0.4, 0.3, 0.2, 0.1)
+
 
 def _ltr_qrels(n_docs: int) -> dict:
     """Deterministic graded judgments both sides can derive from docno
@@ -572,12 +679,9 @@ def _ltr_qrels(n_docs: int) -> dict:
     return {q["qid"]: judged for q in IR.GATE_QUERIES}
 
 
-def _ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ltr feature extraction (ExtractFeatures parity): per judged doc,
-    the UNWEIGHTED per-spec clique potential sums of the SD model —
-    term / ordered-window / unordered-window columns — plus the grade.
-    Feature values are float32 ordered folds, so the DuckDB oracle
-    reproduces them bit-for-bit."""
+def _ltr_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw (unrounded) ExtractFeatures frame over the judged grid — the
+    shared input of the ltr_features and ltr_model_scores gates."""
     from ivory_spark.query.features import extract_features
     from ivory_spark.query.mrf import FeatureSpec, MrfModel
 
@@ -590,10 +694,19 @@ def _ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             FeatureSpec("uw", 0.09, width=4, name="unorderedWt"),
         ],
     )
-    df = extract_features(
+    return extract_features(
         spark, index, IR.GATE_QUERIES, _ltr_qrels(index.properties["n_docs"]),
         {"sdm": model},
     )
+
+
+def _ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ltr feature extraction (ExtractFeatures parity): per judged doc,
+    the UNWEIGHTED per-spec clique potential sums of the SD model —
+    term / ordered-window / unordered-window columns — plus the grade.
+    Feature values are float32 ordered folds, so the DuckDB oracle
+    reproduces them bit-for-bit."""
+    df = _ltr_feature_frame(spark, sf_dir)
     cols = [F.col("qid"), F.col("docno"), F.col("grade").cast("double").alias("grade")]
     cols += [
         F.round(F.col(f"`{nm}`").cast("double"), 4).alias(nm)
@@ -602,7 +715,39 @@ def _ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(*cols)
 
 
-def _sql_ltr_features() -> str:
+def _ltr_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end learned-model ranking scores (ltr.py LearnedModel.score
+    — the sequential float32 translate fold of Rank.java:55-60) over the
+    extracted feature matrix, one fixed model (_LTR_GATE_FEATURES /
+    _LTR_GATE_WEIGHTS) so the DuckDB twin can replay the fold exactly.
+    Scoring runs distributed in Arrow batches (mapInPandas); features
+    enter the fold RAW (float32), only the output score is rounded."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    from ivory_spark.ltr import LearnedModel, LtrFeature
+
+    model = LearnedModel(
+        [LtrFeature(kind, a, b) for kind, a, b in _LTR_GATE_FEATURES],
+        list(_LTR_GATE_WEIGHTS),
+    )
+    cols = list(_LTR_FEATURE_COLS)
+
+    def score_batches(it):
+        for pdf in it:
+            out = pdf[["qid", "docno"]].copy()
+            out["grade"] = pdf["grade"].astype("float64")
+            out["score"] = model.score(pdf[cols].to_numpy(dtype=np.float32))
+            yield out
+
+    df = _ltr_feature_frame(spark, sf_dir)
+    scored = df.mapInPandas(
+        score_batches, schema="qid string, docno long, grade double, score float"
+    )
+    return _round4(scored)
+
+
+def _sql_ltr_features(model_score: bool = False) -> str:
     """DuckDB float32 oracle for _ltr_features. Clique construction is
     DYNAMIC: extract_features drops OOV query tokens BEFORE building
     cliques (ExtractFeatures.java:83-97 rebuilds the query from terms
@@ -627,6 +772,33 @@ def _sql_ltr_features() -> str:
         f"""coalesce(max(CASE WHEN fid = {fid} THEN v END), 0.0::FLOAT) AS "{nm}" """
         for fid, nm in enumerate(_LTR_FEATURE_COLS)
     )
+    if model_score:
+        f1, f2, f3 = (f'"{nm}"' for nm in _LTR_FEATURE_COLS)
+        # LtrFeature evals of _LTR_GATE_MODEL (ltr.py LtrFeature.eval):
+        # simple(0), log(1), product(0,2), quotient(2,0) — float32 each
+        evals = [
+            f1,
+            f"(CASE WHEN {f2} > 0 THEN ln({f2}::DOUBLE)::FLOAT ELSE 0.0::FLOAT END)",
+            f"({f1} * {f3})::FLOAT",
+            f"(CASE WHEN {f1} != 0 THEN ({f3} / {f1})::FLOAT ELSE 0.0::FLOAT END)",
+        ]
+        # ScoreTable.translate fold (ltr.py:_translate): float32 of
+        # (float64 score + w * float64 feature), sequentially per feature
+        fold = "0.0::DOUBLE"
+        for w, e in zip(_LTR_GATE_WEIGHTS, evals):
+            fold = f"(({fold} + {w!r}::DOUBLE * ({e})::DOUBLE)::FLOAT)::DOUBLE"
+        final_select = (
+            "SELECT qid, docno, grade, "
+            f"round(({fold})::FLOAT::DOUBLE, 4) AS score FROM pv"
+        )
+    else:
+        final_select = (
+            "SELECT qid, docno, grade, "
+            + ", ".join(
+                f'round("{nm}"::DOUBLE, 4) AS "{nm}"' for nm in _LTR_FEATURE_COLS
+            )
+            + " FROM pv"
+        )
     return f"""
 WITH {_ENGINE_CTES}, {qtok},
 judged AS (SELECT docno, (docno % 4)::DOUBLE AS grade FROM edocmap WHERE docno % 5 = 1),
@@ -709,9 +881,7 @@ grid AS (SELECT q.qid, j.docno, j.grade
 pv AS (SELECT g.qid, g.docno, g.grade, {feat_cases}
        FROM grid g LEFT JOIN fold f ON f.qid = g.qid AND f.docno = g.docno
        GROUP BY g.qid, g.docno, g.grade)
-SELECT qid, docno, grade,
-       {", ".join(f'round("{nm}"::DOUBLE, 4) AS "{nm}"' for nm in _LTR_FEATURE_COLS)}
-FROM pv
+{final_select}
 """
 
 
@@ -1351,7 +1521,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_sqe_top10": _engine_sqe_top10,
         "engine_wsd_top10": _engine_wsd_top10,
         "ltr_features": _ltr_features,
+        "ltr_model_scores": _ltr_model_scores,
         "ptc_queries": _ptc_queries,
+        "bitext_pairs": _bitext_pairs,
         "multimodal_features": _multimodal_features,
     }
 
@@ -1513,5 +1685,7 @@ FROM b""",
         "engine_sqe_top10": _sql_engine_sqe_top10(),
         "engine_wsd_top10": _sql_engine_sd_top10(model=_wsd_gate_model()),
         "ltr_features": _sql_ltr_features(),
+        "ltr_model_scores": _sql_ltr_features(model_score=True),
         "ptc_queries": _sql_ptc_queries(),
+        "bitext_pairs": _sql_bitext_pairs(),
     }
