@@ -107,3 +107,101 @@ def test_evaluate_run_graded_wiring():
     # ungraded call keeps the old shape
     m2 = evaluate_run(run, qrels)
     assert "mean_ndcg" not in m2 and "ndcg" not in m2["per_query"]["q1"]
+
+
+# ---------------------------------------------------------------------------
+# trec_eval-parity cross-check on a reference-shipped judgment file
+# (the sandbox analogue of Ivory's external trec_eval validation,
+# docs/exp-trec45.html / RankedListEvaluator.java:100-130)
+# ---------------------------------------------------------------------------
+
+import math
+import os
+
+import pytest
+
+_GENOMICS_QRELS = "/root/reference/data/medline/qrels.genomics05.txt"
+
+needs_reference = pytest.mark.skipif(
+    not os.path.exists(_GENOMICS_QRELS),
+    reason="reference data not present (standalone checkout)",
+)
+
+
+@needs_reference
+def test_reference_qrels_parse_facts():
+    """Pin what the parsers read out of the REAL reference-shipped file:
+    judgment counts per topic and the graded histogram (hand-counted
+    from the file)."""
+    from ivory_spark.functions.eval import parse_graded_qrels, parse_qrels
+
+    rel = parse_qrels(_GENOMICS_QRELS)
+    assert len(rel["100"]) == 74
+    assert len(rel["101"]) == 20
+    graded = parse_graded_qrels(_GENOMICS_QRELS)
+    hist = {}
+    for g in graded["100"].values():
+        hist[g] = hist.get(g, 0) + 1
+    assert hist == {0.0: 630, 1.0: 52, 2.0: 22}
+    # binary view = positive grades only
+    assert rel["100"] == {d for d, g in graded["100"].items() if g > 0}
+
+
+@needs_reference
+def test_reference_qrels_ap_p10_map():
+    """AP / P@10 / MAP over a deterministic synthetic run built from the
+    reference judgments: hit pattern at ranks 1,3,5,8,9 with one
+    unjudged doc interleaved. Expected values are written straight from
+    the published definitions (sum of precision@hit / R; R = ALL
+    relevant, not retrieved-relevant — the trec_eval convention)."""
+    from ivory_spark.functions.eval import evaluate_run, parse_qrels
+
+    qrels = parse_qrels(_GENOMICS_QRELS)
+    with open(_GENOMICS_QRELS) as f:
+        lines = f.read().splitlines()
+    by_topic_rel = {"100": [], "101": []}
+    by_topic_non = {"100": [], "101": []}
+    for ln in lines:
+        q, _, d, g = ln.split()
+        if q in by_topic_rel:
+            (by_topic_rel if int(g) > 0 else by_topic_non)[q].append(d)
+    r0, r1 = by_topic_rel["100"][:5], by_topic_non["100"][:4]
+    run = {
+        "100": [r0[0], r1[0], r0[1], r1[1], r0[2], "UNJUDGED_X",
+                r1[2], r0[3], r0[4], r1[3]],
+        "101": [by_topic_non["101"][0]] + by_topic_rel["101"][:2],
+        "999_no_judgments": ["a", "b"],  # skipped, as trec_eval does
+    }
+    m = evaluate_run(run, qrels, p_at=10)
+    ap100 = (1 / 1 + 2 / 3 + 3 / 5 + 4 / 8 + 5 / 9) / 74
+    ap101 = (1 / 2 + 2 / 3) / 20
+    assert m["per_query"]["100"]["ap"] == pytest.approx(ap100, abs=1e-12)
+    assert m["per_query"]["100"]["p10"] == pytest.approx(0.5, abs=1e-12)
+    assert m["per_query"]["101"]["ap"] == pytest.approx(ap101, abs=1e-12)
+    assert m["per_query"]["101"]["p10"] == pytest.approx(0.2, abs=1e-12)
+    assert m["num_queries"] == 2
+    assert m["map"] == pytest.approx((ap100 + ap101) / 2, abs=1e-12)
+
+
+@needs_reference
+def test_reference_qrels_graded_measures():
+    """NDCG / ERR over the same reference judgments: a 3-doc run whose
+    expected values are explicit arithmetic from the reference formulas
+    (gain (2^g - 1), NATURAL-log discount ln(rank+1+1); ERR gain /16,
+    ltr/NDCGMeasure.java:88-105, ltr/ERRMeasure.java:66-81)."""
+    from ivory_spark.functions.eval import err, ndcg, parse_graded_qrels
+
+    graded = parse_graded_qrels(_GENOMICS_QRELS)["100"]
+    g2 = next(d for d in graded if graded[d] == 2)   # first grade-2 doc
+    g1 = next(d for d in graded if graded[d] == 1)
+    g0 = next(d for d in graded if graded[d] == 0)
+    ranked = [g2, g0, g1]
+    dcg = 3 / math.log(2) + 0.0 + 1 / math.log(4)
+    ideal = sorted(graded.values(), reverse=True)
+    idcg = sum((2.0 ** g - 1.0) / math.log(i + 2.0) for i, g in enumerate(ideal))
+    assert ndcg(ranked, graded) == pytest.approx(dcg / idcg, abs=1e-12)
+    # ERR: 3/16 at rank 1, then p = 13/16; grade-1 at rank 3 adds
+    # (1/16)*(13/16)/3 — exact fractions
+    assert err(ranked, graded) == pytest.approx(
+        3 / 16 + (1 / 16) * (13 / 16) / 3, abs=1e-12
+    )
