@@ -14,7 +14,9 @@ keyed state on the bucket key).
 
 State is bounded two ways: per bucket, the doc list is FIFO-capped
 (max_state — the streaming twin of the batch path's max_bucket skew
-guard); across buckets, pass state_ttl_minutes on long-running streams
+guard) with a fixed-size bloom filter over EVICTED ids so at-least-once
+re-delivery of aged-out docs is recognized instead of re-emitted as
+fresh candidates; across buckets, pass state_ttl_minutes on long-running streams
 to attach a processing-time TTL per bucket state (removed on timeout) so
 the state store does not grow with every bucket key ever seen — near-dups
 beyond the TTL horizon are caught by batch compaction (the same division
@@ -88,7 +90,14 @@ _OUT_SCHEMA = T.StructType(
         T.StructField("n_prior", T.IntegerType()),
     ]
 )
-_STATE_SCHEMA = T.StructType([T.StructField("seen", T.ArrayType(T.LongType()))])
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("seen", T.ArrayType(T.LongType())),
+        # bloom filter over ids evicted from the FIFO window (fixed
+        # evicted_guard_bits/8 bytes per bucket, monotone)
+        T.StructField("evicted", T.BinaryType()),
+    ]
+)
 
 
 def streaming_neardup_candidates(
@@ -99,11 +108,28 @@ def streaming_neardup_candidates(
     band_size: int = BAND_SIZE,
     max_state: int = 64,
     state_ttl_minutes: int | None = None,
+    evicted_guard_bits: int = 1024,
 ) -> DataFrame:
     """Stateful near-dup candidate stream: one output row per (doc, band)
     whose bucket already held documents — (band, bkey, doc_id,
-    first_seen_doc, n_prior). Dedupe/aggregate downstream to taste."""
+    first_seen_doc, n_prior). Dedupe/aggregate downstream to taste.
+
+    evicted_guard_bits: ids evicted from the FIFO window are remembered
+    in a fixed-size per-bucket bloom filter (ops/bloom.py primitives), so
+    an at-least-once RE-delivery of a doc that has aged past the window
+    is recognized and NOT re-emitted as a fresh candidate. Cost: a
+    constant bits/8 bytes per bucket state. False positives (rate
+    bounded by the bloom geometry, ~(evicted/bits)^3 shape) suppress a
+    genuinely-new doc's candidates in THAT band only — the doc's other
+    n_bands-1 band buckets still pair it, so recall loss is negligible
+    while re-delivery floods are fully damped. 0 disables the guard
+    (pre-guard behavior). TTL expiry drops the bloom with the bucket,
+    matching the documented division of labor with batch compaction."""
+    import numpy as np
+
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ivory_spark.ops.bloom import bloom_from_docnos, bloom_test
 
     bands = band_rows(stream, id_col, text_col, n_hashes, band_size)
     # fractional minutes allowed (tests use seconds-scale TTLs)
@@ -118,26 +144,38 @@ def streaming_neardup_candidates(
             return
         band, bkey = key
         seen: list[int] = list(state.get[0]) if state.exists else []
+        evicted_bm: bytes = bytes(state.get[1] or b"") if state.exists else b""
         out = []
         for pdf in pdfs:
             for doc in pdf["doc_id"]:
                 doc = int(doc)
                 if doc in seen:
                     continue  # at-least-once re-delivery: never self-pair
+                if evicted_bm and bloom_test(
+                    evicted_bm, np.array([doc], dtype=np.uint64), 3
+                )[0]:
+                    continue  # re-delivery of an aged-out doc: already paired
                 if seen:
                     out.append((band, bkey, doc, seen[0], len(seen)))
                 seen.append(doc)
                 if len(seen) > max_state:
-                    # FIFO bound per bucket. Caveat: an at-least-once
-                    # re-delivery of a doc that has aged PAST the window is
-                    # indistinguishable from a new doc and re-emits as a
-                    # fresh candidate (the self-pair guard only covers the
-                    # retained window), and first_seen_doc drifts to the
-                    # oldest RETAINED doc. Downstream dedups candidate
-                    # pairs anyway; size max_state to the source's
-                    # redelivery horizon if exact-once emission matters.
+                    # FIFO bound per bucket; evicted ids go to the bloom
+                    # so their re-deliveries stay recognized. Note
+                    # first_seen_doc still drifts to the oldest RETAINED
+                    # doc after eviction.
+                    cut = np.array(seen[:-max_state], dtype=np.uint64)
+                    if evicted_guard_bits:
+                        add = bloom_from_docnos(cut, evicted_guard_bits, 3)
+                        evicted_bm = (
+                            np.bitwise_or(
+                                np.frombuffer(evicted_bm, dtype=np.uint8),
+                                np.frombuffer(add, dtype=np.uint8),
+                            ).tobytes()
+                            if evicted_bm
+                            else add
+                        )
                     seen = seen[-max_state:]
-        state.update((seen,))
+        state.update((seen, evicted_bm))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(

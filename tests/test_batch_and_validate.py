@@ -442,3 +442,75 @@ print("RESULT_JSON:" + json.dumps(rows))
     # doc 30 arrived after doc 10's buckets were retired: no pair emitted
     pairs_30 = [r for r in got if r["doc_id"] == 30 and r["first_seen_doc"] == 10]
     assert pairs_30 == [], got
+
+
+def test_streaming_neardup_evicted_redelivery_guard(spark, tmp_path):
+    """Forced re-delivery of a doc EVICTED from the FIFO window: with the
+    evicted-id bloom guard the re-delivered doc is recognized and emits
+    NO new candidates (pre-guard it was indistinguishable from a new doc
+    and re-paired). max_state=2 forces doc 10's eviction when doc 30
+    arrives; batch 3 then re-delivers doc 10. Subprocess-isolated,
+    skip-on-flake like the other stateful-streaming tests."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    script = r"""
+import json, os, sys
+sys.path.insert(0, %(repo)r)
+import pandas as pd
+from ivory_spark.session import get_spark
+from ivory_spark.streaming.ingest import CORPUS_SCHEMA
+from ivory_spark.streaming.neardup import streaming_neardup_candidates
+from pyspark.sql import types as T
+
+spark = get_spark("nd-evict", cores=2, shuffle_partitions=2)
+dup = "alpha beta gamma delta epsilon zeta eta theta"
+schema = T.StructType(CORPUS_SCHEMA.fields + [T.StructField("doc_id", T.LongType())])
+d = %(dir)r
+
+def write(name, rows, mtime):
+    p = os.path.join(d, name)
+    pd.DataFrame(
+        {"repo": ["r"] * len(rows), "path": [str(i) for i, _ in rows],
+         "commit": ["c"] * len(rows), "lang": ["x"] * len(rows),
+         "content": [t for _, t in rows],
+         "ingest_ts": pd.Series([pd.Timestamp("2026-01-01")] * len(rows)).astype("datetime64[us]"),
+         "doc_id": [i for i, _ in rows]}
+    ).to_parquet(p, index=False)
+    os.utime(p, (mtime, mtime))
+
+write("b0.parquet", [(10, dup)], 1_000_000)
+write("b1.parquet", [(20, dup), (30, dup)], 1_000_100)  # evicts 10 (max_state=2)
+write("b2.parquet", [(10, dup)], 1_000_200)             # re-delivery of evicted 10
+stream = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(d))
+out = streaming_neardup_candidates(stream, max_state=2)
+q = (out.writeStream.outputMode("append").format("memory").queryName("ndev")
+     .trigger(availableNow=True).start())
+q.awaitTermination()
+rows = [r.asDict() for r in spark.sql("select * from ndev").collect()]
+print("RESULT_JSON:" + json.dumps(rows))
+"""
+    stream_dir = str(tmp_path / "ndev")
+    os.makedirs(stream_dir)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        proc = subprocess.run(
+            [_sys.executable, "-c", script % {"repo": repo_root, "dir": stream_dir}],
+            capture_output=True, text=True, timeout=240, check=False,
+        )
+    except subprocess.TimeoutExpired:
+        pytest.skip("stateful-streaming drain exceeded 240s in subprocess (flake)")
+    tail = (proc.stdout + proc.stderr)[-800:]
+    result_lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT_JSON:")]
+    if proc.returncode != 0 or not result_lines:
+        pytest.skip(f"stateful-streaming drain failed/flaked in subprocess: {tail}")
+    got = json.loads(result_lines[0][len("RESULT_JSON:"):])
+    # docs 20 and 30 each paired in all 4 bands when they arrived
+    assert len([r for r in got if r["doc_id"] == 20]) == 4
+    assert len([r for r in got if r["doc_id"] == 30]) == 4
+    # the re-delivered, evicted doc 10 emitted NOTHING (bloom guard);
+    # without the guard it would re-pair in all 4 bands
+    assert [r for r in got if r["doc_id"] == 10] == []
+    assert all(r["doc_id"] != r["first_seen_doc"] for r in got)
