@@ -189,10 +189,21 @@ def _fold_cosine(vec: Column, lits: "list[float]") -> Column:
 def ivf_centroids(
     emb: DataFrame, n_centroids: int = 16,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    lloyd_iters: int = 0,
 ) -> "list[tuple[int, list[float]]]":
     """Deterministic centroid sample: the n vectors whose md5(id) ranks
     lowest (ties by id). Returns [(centroid_idx, vector)] — small, meant
-    to be broadcast as literals."""
+    to be broadcast as literals.
+
+    lloyd_iters > 0 refines the sample with that many Lloyd iterations
+    (spherical k-means shape: assign by max cosine, recenter on the
+    element-wise mean — cosine is scale-invariant so the unnormalized
+    mean yields identical assignments). Each iteration is one JVM-side
+    assignment pass + one (cell, idx) aggregation; empty cells keep
+    their previous centroid. Deterministic given the deterministic
+    seed sample. The default (0) stays the SQL-reproducible sampled
+    mode the gates pin; Lloyd mode trades that for the recall/balance a
+    real IVF index wants at scale (recall grid: BENCH.md)."""
     from ivory_spark.ops.dedup import portable_hash
 
     h = portable_hash(F.col(id_col).cast("string"), 0)
@@ -202,7 +213,19 @@ def ivf_centroids(
         .limit(n_centroids)
         .collect()
     )
-    return [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(rows)]
+    cents = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(rows)]
+    for _ in range(lloyd_iters):
+        means = (
+            emb.withColumn("cell", _cell_expr(F.col(vec_col), cents))
+            .select("cell", F.posexplode(vec_col).alias("idx", "x"))
+            .groupBy("cell", "idx").agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("idx", "m"))).alias("pairs"))
+            .collect()
+        )
+        new = {r["cell"]: [float(p["m"]) for p in r["pairs"]] for r in means}
+        cents = [(i, new.get(i, v)) for i, v in cents]
+    return cents
 
 
 def _cell_expr(vec: Column, cents) -> Column:
@@ -222,12 +245,14 @@ def ivf_topk(
     vec_col: str = "embedding",
     qid_col: str = "qid",
     qvec_col: str = "qvec",
+    lloyd_iters: int = 0,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF cells: vectors live in their
     max-cosine cell; each query scans its nprobe highest-cosine cells.
     Recall < 1.0 by design (verified vs brute force in tests); the cell
-    equi-join replaces the cross product at scale."""
-    cents = ivf_centroids(emb, n_centroids, id_col, vec_col)
+    equi-join replaces the cross product at scale. lloyd_iters refines
+    the sampled centroids (see ivf_centroids; gates pin the default 0)."""
+    cents = ivf_centroids(emb, n_centroids, id_col, vec_col, lloyd_iters)
     e = emb.withColumn("cell", _cell_expr(F.col(vec_col), cents))
     qcos = F.array(*[_fold_cosine(F.col(qvec_col), v) for _, v in cents])
     # top-nprobe cells: sort (cosine desc, idx asc) via struct sort

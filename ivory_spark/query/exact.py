@@ -458,3 +458,18 @@ def scored_topk(
         raise ValueError(f"unknown scorer: {scorer}")
 
     return _rank_topk(index, _fold_scores(cand), k, with_docid)
+
+
+def release_caches() -> None:
+    """Explicitly release the one-deep persisted-postings registry
+    (scored_topk LM path). The lazy API keeps the last call's postings
+    persisted because it cannot observe the caller's final action; call
+    this when done querying to return the executor memory early instead
+    of waiting for the next scored_topk call to rotate it out."""
+    prev = getattr(scored_topk, "_cached_postings", None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # session already stopped
+        scored_topk._cached_postings = None

@@ -538,3 +538,16 @@ def features_to_instances(df: DataFrame, with_docid: bool = False):
         ).reshape(len(rows), len(feat_names)),
         feat_names,
     )
+
+
+def release_caches() -> None:
+    """Explicitly release the one-deep persisted feature-kernel registry
+    (see the _cached_scored note above): call when done extracting to
+    free executor memory without waiting for the next call."""
+    prev = getattr(extract_features, "_cached_scored", None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # session already stopped
+        extract_features._cached_scored = None

@@ -286,6 +286,38 @@ def test_ivf_ann_recall(spark, emb):
     assert r8 == 1.0  # all 8 cells probed == exhaustive search
 
 
+def test_ivf_lloyd_mode(spark, emb):
+    """Lloyd-refined centroids (ivf_centroids lloyd_iters>0): the
+    refinement is deterministic, keeps the centroid count, and a full
+    probe is still exhaustive (cells always partition the corpus);
+    recall at partial probe stays at a sane floor on the fixture."""
+    from ivory_spark.ops.similarity import (
+        brute_force_topk,
+        ivf_centroids,
+        ivf_topk,
+        query_vectors,
+    )
+
+    c1 = ivf_centroids(emb, n_centroids=8, lloyd_iters=2)
+    c2 = ivf_centroids(emb, n_centroids=8, lloyd_iters=2)
+    assert c1 == c2 and len(c1) == 8  # deterministic refinement
+    sampled = ivf_centroids(emb, n_centroids=8)
+    assert c1 != sampled  # the refinement actually moved the centroids
+
+    q = query_vectors(spark, emb, n=10)
+    exact = {(r["qid"], r["vec_id"]) for r in brute_force_topk(emb, q, k=3).collect()}
+    got8 = {
+        (r["qid"], r["vec_id"])
+        for r in ivf_topk(emb, q, k=3, n_centroids=8, nprobe=8, lloyd_iters=2).collect()
+    }
+    assert len(exact & got8) / len(exact) == 1.0  # full probe exhaustive
+    got2 = {
+        (r["qid"], r["vec_id"])
+        for r in ivf_topk(emb, q, k=3, n_centroids=8, nprobe=2, lloyd_iters=2).collect()
+    }
+    assert len(exact & got2) / len(exact) >= 0.1
+
+
 def test_multimodal_resize_plumbing(spark, docs):
     """Resize op plumbing: image rows only, deterministic fixed-size
     output payloads, correct scale factors."""
