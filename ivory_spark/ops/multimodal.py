@@ -1,11 +1,19 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
 The Spark-side plumbing (schema, partition-friendly batch shapes,
-Arrow-vectorized UDF signatures) is real and tested; the actual media
-decode is STUBBED — codec libraries (Pillow/librosa/ffmpeg) are not in
-this container. `decode_features` computes deterministic fake features
-from the bytes so tests can pin behavior end-to-end; `decode_real` raises
-NotImplementedError and documents the integration point.
+Arrow-vectorized UDF signatures) is real and tested. Decode comes in two
+tiers:
+
+- `decode_real` / `resize_real`: REAL decode + pixel resample for the
+  formats this container can handle without codec libraries — netpbm
+  P6/P5 images (numpy) and RIFF/WAVE PCM audio (stdlib wave). Rows in
+  compressed formats (jpeg/png/mp3/h264 — Pillow/librosa/ffmpeg are NOT
+  in this container) come back decoded=false with the sniffed format,
+  per-row, never a job abort; that remains the documented integration
+  point for real codec libraries.
+- `decode_features` / `resize_stub`: deterministic byte-derived stand-ins
+  used by the correctness gate (sha256 features are DuckDB-reproducible;
+  real pixel statistics are not).
 
 Design for 100 TB: media bytes stay in an opaque `binary` column with a
 typed metadata struct alongside; feature extraction streams through
@@ -50,6 +58,55 @@ def synthesize_media(spark, docs: DataFrame, id_col: str = "doc_id", text_col: s
         (F.length(text_col) * 10).cast("int").alias("duration_ms"),
         F.encode(F.col(text_col), "utf-8").alias("payload"),
     )
+
+
+def synthesize_real_media(spark, docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic VALID media blobs (for the real-decode tier): even
+    doc_ids get a P6 gradient image (width/height from the id), odd ones
+    a 16-bit PCM WAV sine (frequency from the id). Generated in Arrow
+    batches — the same shape real blob ingestion would use."""
+    import io
+    import wave
+
+    base = docs.select(F.col(id_col).alias("media_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                if mid % 2 == 0:
+                    w, h = 8 + mid % 16, 6 + mid % 12
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    px = np.stack(
+                        [
+                            (xx * 255 // max(w - 1, 1)).astype(np.uint8),
+                            (yy * 255 // max(h - 1, 1)).astype(np.uint8),
+                            np.full((h, w), mid % 256, dtype=np.uint8),
+                        ],
+                        axis=2,
+                    )
+                    rows.append((mid, "image", "image/x-portable-pixmap",
+                                 w, h, None, encode_ppm(px)))
+                else:
+                    rate, freq, n = 8000, 100 + (mid % 40) * 10, 800
+                    t = np.arange(n, dtype=np.float64) / rate
+                    x = (0.5 * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as wf:
+                        wf.setnchannels(1)
+                        wf.setsampwidth(2)
+                        wf.setframerate(rate)
+                        wf.writeframes(x.tobytes())
+                    rows.append((mid, "audio", "audio/wav", None, None,
+                                 1000 * n // rate, buf.getvalue()))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "mime", "width", "height",
+                         "duration_ms", "payload"],
+            )
+
+    return base.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 FEATURE_DIM = 8
@@ -113,15 +170,205 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     return frames
 
 
-def decode_real(media: DataFrame) -> DataFrame:
-    """Integration point for real decoders (Pillow / torchaudio / pyav).
+# ---------------------------------------------------------------------------
+# real decode — uncompressed formats, zero external dependencies
+# ---------------------------------------------------------------------------
+# PPM/PGM (netpbm P6/P5) and RIFF/WAVE PCM are fully decodable with
+# numpy + the stdlib `wave` module, so for these the decode below is the
+# REAL operation, not a stub. Compressed codecs (JPEG/PNG/MP3/H.264)
+# still require libraries absent from this container and remain the
+# documented integration point (decode_real marks those rows
+# decoded=false with the reason instead of raising, so one bad blob
+# cannot kill a 100-TB job).
 
-    Not available in this environment — the container ships no media
-    codecs. The Arrow plumbing to use is identical to decode_features.
-    """
-    raise NotImplementedError(
-        "media codecs not installed in this environment; "
-        "use decode_features (deterministic stub) for plumbing tests"
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary netpbm decode: P6 (RGB) -> (h, w, 3) uint8, P5 (gray) ->
+    (h, w) uint8. Header = magic, whitespace/comment-separated width,
+    height, maxval (<= 255 supported), one whitespace byte, raw pixels."""
+    if payload[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary netpbm payload")
+    # tokenize the header: whitespace-separated ints, '#' comments to EOL
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval, then raw pixel data
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    ch = 3 if payload[:2] == b"P6" else 1
+    pixels = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=pos)
+    return pixels.reshape((h, w, 3)) if ch == 3 else pixels.reshape((h, w))
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Inverse of decode_ppm (P6 for 3-channel, P5 for 2-d gray)."""
+    if pixels.ndim == 3:
+        magic, (h, w) = b"P6", pixels.shape[:2]
+    else:
+        magic, (h, w) = b"P5", pixels.shape
+    return magic + b"\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        pixels, dtype=np.uint8
+    ).tobytes()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM decode via the stdlib wave module: (mono float64
+    samples in [-1, 1], sample_rate). Multi-channel input is mean-mixed."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        n, width, rate, ch = (
+            wf.getnframes(), wf.getsampwidth(), wf.getframerate(), wf.getnchannels()
+        )
+        raw = wf.readframes(n)
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:  # 8-bit WAV is unsigned
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {width}")
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    return x, rate
+
+
+def _sniff(payload: bytes) -> str:
+    if payload[:2] in (b"P6", b"P5"):
+        return "netpbm"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    return "unknown"
+
+
+def decode_real(media: DataFrame) -> DataFrame:
+    """REAL media decode for uncompressed formats (see module note):
+    one row per blob with typed features —
+
+      netpbm image: width/height/channels + per-channel mean and std
+      WAV audio:    sample_rate, n_samples, duration_ms, rms, peak,
+                    zero-crossing rate
+
+    packed into a fixed `features: array<double>` (image: [w, h, ch,
+    mean_r, mean_g, mean_b, std_r, std_g, std_b]; audio: [rate,
+    n_samples, duration_ms, rms, peak, zcr, 0, 0, 0]) so the column
+    shape is kind-independent. Rows whose payload needs a codec this
+    container lacks (jpeg/png/...) come back decoded=false with the
+    sniffed format in `error` — per-row isolation, not a job abort.
+    Same mapInPandas batch shape as decode_features."""
+
+    def gen(batches):
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"], "kind": pdf["kind"],
+                "n_bytes": pdf["payload"].map(len).astype("int64"),
+                "decoded": [], "format": [], "error": [], "features": [],
+            }
+            for p in pdf["payload"]:
+                b = bytes(p)
+                fmt = _sniff(b)
+                try:
+                    if fmt == "netpbm":
+                        px = decode_ppm(b)
+                        img = px if px.ndim == 3 else px[:, :, None]
+                        mean = img.mean(axis=(0, 1))
+                        std = img.std(axis=(0, 1))
+                        feats = [
+                            float(img.shape[1]), float(img.shape[0]),
+                            float(img.shape[2]),
+                            *(list(mean) + [0.0] * (3 - img.shape[2])),
+                            *(list(std) + [0.0] * (3 - img.shape[2])),
+                        ]
+                        out["decoded"].append(True)
+                        out["error"].append(None)
+                    elif fmt == "wav":
+                        x, rate = decode_wav(b)
+                        n = len(x)
+                        rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
+                        peak = float(np.abs(x).max()) if n else 0.0
+                        zcr = (
+                            float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                            if n > 1 else 0.0
+                        )
+                        feats = [
+                            float(rate), float(n), 1000.0 * n / rate,
+                            rms, peak, zcr, 0.0, 0.0, 0.0,
+                        ]
+                        out["decoded"].append(True)
+                        out["error"].append(None)
+                    else:
+                        feats = [0.0] * 9
+                        out["decoded"].append(False)
+                        out["error"].append(
+                            f"codec required for format '{fmt}' — not in container"
+                        )
+                except (ValueError, EOFError) as e:  # malformed blob
+                    feats = [0.0] * 9
+                    out["decoded"].append(False)
+                    out["error"].append(str(e))
+                out["format"].append(fmt)
+                out["features"].append(feats)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        gen,
+        schema=(
+            "media_id long, kind string, n_bytes long, decoded boolean, "
+            "format string, error string, features array<double>"
+        ),
+    )
+
+
+def resize_real(media: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """REAL nearest-neighbor resize for netpbm payloads: decode, index-map
+    resample, re-encode. Rows in other formats pass through resize_stub's
+    behavior contract (marked resized=false). Same output-per-input-row
+    shape as resize_stub so either can back the pipeline."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid, w, h, p in zip(
+                pdf["media_id"], pdf["width"], pdf["height"], pdf["payload"]
+            ):
+                b = bytes(p)
+                if _sniff(b) != "netpbm":
+                    rows.append((int(mid), int(w), int(h), target_w, target_h,
+                                 False, b))
+                    continue
+                px = decode_ppm(b)
+                sh, sw = px.shape[:2]
+                yi = (np.arange(target_h) * sh // target_h).astype(np.int64)
+                xi = (np.arange(target_w) * sw // target_w).astype(np.int64)
+                resized = px[yi][:, xi]
+                rows.append((int(mid), sw, sh, target_w, target_h, True,
+                             encode_ppm(resized)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "src_w", "src_h", "target_w", "target_h",
+                         "resized", "payload"],
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        gen,
+        schema=(
+            "media_id long, src_w int, src_h int, target_w int, target_h int, "
+            "resized boolean, payload binary"
+        ),
     )
 
 
