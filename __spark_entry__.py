@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ivory_spark.ops import dedup as D
 from ivory_spark.ops import ir_relational as IR
+from ivory_spark.ops import repetition as RP
 from ivory_spark.ops import similarity as SIM
 from ivory_spark.ops import textstats as TS
 from ivory_spark.sources.testdata import documents_as_corpus, read_table
@@ -177,6 +178,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _docs(spark, sf_dir):
     return read_table(spark, sf_dir, "documents")
+
+
+def _docs_structured(spark, sf_dir):
+    """documents with deterministic line/paragraph structure injected
+    (the synthetic text has no newlines, which would leave the
+    repetition gate's line/paragraph columns degenerate): ' table ' ->
+    blank line, then ' the ' -> newline. The DuckDB twin applies the
+    identical literal replaces, so the gate exercises every column of
+    repetition_stats on real variation."""
+    d = _docs(spark, sf_dir)
+    t = F.regexp_replace(F.col("text"), " table ", "\n\n")
+    t = F.regexp_replace(t, " the ", "\n")
+    return d.select("doc_id", t.alias("text"))
+
+
+# DuckDB twin of _docs_structured's text expression
+_SQL_STRUCTURED_TEXT = (
+    "replace(replace(text, ' table ', chr(10) || chr(10)), ' the ', chr(10))"
+)
 
 
 def _source_fingerprint(sf_dir: str) -> str:
@@ -1467,6 +1487,71 @@ SELECT qid, rank, vec_id, cosine FROM (
 """
 
 
+def _sql_gram_ctes(n: int, text_expr: str = "text") -> str:
+    """Shared CTE chain t -> g producing per-doc word n-gram rows (DuckDB
+    twin of ops/repetition._grams: lowercase, single-space split, empties
+    dropped, overlapping n-grams joined by spaces)."""
+    return f"""
+t AS (SELECT doc_id, length({text_expr}) AS n_chars,
+        list_filter(list_transform(string_split({text_expr}, chr(10)), s -> trim(s)), s -> s <> '') AS lines,
+        list_filter(list_transform(string_split({text_expr}, chr(10) || chr(10)), s -> trim(s)), s -> s <> '') AS paras,
+        list_filter(string_split(lower({text_expr}), ' '), s -> s <> '') AS toks
+      FROM documents),
+g AS (SELECT doc_id, array_to_string(toks[p:p+{n - 1}], ' ') AS gram
+      FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - {n - 1}, 0))) AS p) l)"""
+
+
+def _sql_text_repetition(n: int = 3) -> str:
+    """DuckDB twin of repetition_stats over the newline-injected text."""
+
+    def seg(col):
+        chars = f"coalesce(list_sum(list_transform({col}, s -> length(s))), 0)"
+        dchars = f"coalesce(list_sum(list_transform(list_distinct({col}), s -> length(s))), 0)"
+        return (
+            f"len({col})::INT AS n_{col},\n"
+            f"  round(CASE WHEN len({col}) > 0 THEN (len({col}) - len(list_distinct({col}))) / len({col}) ELSE 0 END, 6) AS dup_{col[:-1]}_frac,\n"
+            f"  round(CASE WHEN {chars} > 0 THEN ({chars} - {dchars}) / {chars} ELSE 0 END, 6) AS dup_{col[:-1]}_char_frac"
+        )
+
+    return f"""
+WITH {_sql_gram_ctes(n, _SQL_STRUCTURED_TEXT)},
+gc AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram),
+gt AS (SELECT doc_id, cnt, length(gram) AS lg,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn,
+         sum(cnt) OVER (PARTITION BY doc_id) AS ng,
+         count(*) OVER (PARTITION BY doc_id) AS ndg
+       FROM gc),
+top AS (SELECT doc_id, ng, ndg, cnt * lg AS topchars FROM gt WHERE rn = 1)
+SELECT t.doc_id,
+  {seg("lines")},
+  {seg("paras")},
+  coalesce(top.ng, 0)::INT AS n_ngrams,
+  round(CASE WHEN coalesce(top.ng, 0) > 0 THEN (top.ng - top.ndg) / top.ng ELSE 0 END, 6) AS dup_ngram_frac,
+  round(CASE WHEN t.n_chars > 0 THEN coalesce(top.topchars, 0) / t.n_chars ELSE 0 END, 6) AS top_ngram_char_frac
+FROM t LEFT JOIN top USING (doc_id)"""
+
+
+def _sql_common_ngrams(n: int = 3, min_docs: int = 5) -> str:
+    return f"""
+WITH {_sql_gram_ctes(n)},
+gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram)
+SELECT gram, count(*)::INT AS n_docs, sum(c)::BIGINT AS n_total
+FROM gc GROUP BY gram HAVING count(*) >= {min_docs}"""
+
+
+def _sql_decontaminate(n: int = 4, mod: int = 17) -> str:
+    return f"""
+WITH {_sql_gram_ctes(n)},
+gd AS (SELECT DISTINCT doc_id, gram FROM g),
+b AS (SELECT DISTINCT gram FROM gd WHERE doc_id % {mod} = 0),
+ns AS (SELECT doc_id, count(*) AS n_shingles FROM gd WHERE doc_id % {mod} <> 0 GROUP BY doc_id),
+h AS (SELECT gd.doc_id, count(*) AS n_hits FROM gd JOIN b USING (gram)
+      WHERE gd.doc_id % {mod} <> 0 GROUP BY gd.doc_id)
+SELECT h.doc_id, ns.n_shingles::INT AS n_shingles, h.n_hits::INT AS n_hits,
+       round(h.n_hits / ns.n_shingles, 6) AS contamination_frac
+FROM h JOIN ns USING (doc_id)"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- IR pipeline (SURVEY.md §2: A1-A8, F1/F2/F5, K1/K2, J4/J5, P1) ---
@@ -1505,6 +1590,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": lambda s, d: TS.quality_score(_docs(s, d)),
         "text_langid": lambda s, d: TS.langid(_docs(s, d)),
         "text_fingerprint": lambda s, d: TS.fingerprint(_docs(s, d)),
+        "text_repetition": lambda s, d: RP.repetition_stats(_docs_structured(s, d), ngram=3),
+        "dedup_common_ngrams": lambda s, d: RP.common_ngrams(_docs(s, d), n=3, min_docs=5),
+        "dedup_decontaminate": lambda s, d: RP.decontaminate(
+            _docs(s, d).filter(F.col("doc_id") % 17 != 0),
+            _docs(s, d).filter(F.col("doc_id") % 17 == 0),
+            n=4,
+        ),
         # --- engine-native (float32 kernels; DuckDB float32-emulating oracles)
         "engine_bm25_top10": _engine_bm25_top10,
         "engine_nl_bm25_top10": _engine_nl_bm25_top10,
@@ -1662,6 +1754,9 @@ SELECT doc_id, len(p)::INT AS n_pieces,
          AS pieces_per_ws_token
 FROM b""",
         "text_langid": _sql_langid(),
+        "text_repetition": _sql_text_repetition(3),
+        "dedup_common_ngrams": _sql_common_ngrams(3, 5),
+        "dedup_decontaminate": _sql_decontaminate(4, 17),
         "text_fingerprint": "SELECT doc_id, substr(md5(array_to_string("
         "list_filter(string_split(lower(text), ' '), x -> x <> ''), ' ')), 1, 16) AS fp16 "
         "FROM documents",
