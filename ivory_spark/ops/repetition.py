@@ -99,12 +99,13 @@ def repetition_stats(
     toks = _tokens(text)
     grams = _grams(toks, ngram)
 
-    base = docs.select(
+    # Scalar segment metrics: one per-row projection, no gram arrays —
+    # the rows that reach the final doc_id join stay a few ints wide.
+    scalars = docs.select(
         F.col(id_col),
         text.alias("_text"),
         lines.alias("_lines"),
         paras.alias("_paras"),
-        grams.alias("_grams"),
     ).select(
         F.col(id_col),
         F.length("_text").alias("_n_chars"),
@@ -116,24 +117,27 @@ def repetition_stats(
         F.size(F.array_distinct("_paras")).alias("_ndp"),
         _char_sum(F.col("_paras")).alias("_cp"),
         _char_sum(F.array_distinct("_paras")).alias("_cdp"),
-        F.size("_grams").alias("n_ngrams"),
-        F.size(F.array_distinct("_grams")).alias("_ndg"),
-        F.col("_grams"),
     )
 
-    # top n-gram per doc: explode -> count -> min(struct(-cnt, gram))
-    # picks (highest count, then lexicographically smallest gram).
-    gram_rows = base.select(F.col(id_col), F.explode("_grams").alias("gram"))
+    # All n-gram metrics come from one (doc, gram) aggregation: total
+    # occurrences = sum(cnt), distinct grams = count(*), and the top
+    # gram via min(struct(-cnt, gram)) — (highest count, then
+    # lexicographically smallest). The exploded gram rows are aggregated
+    # away before the join, so the heavy strings never shuffle twice.
+    gram_rows = docs.select(F.col(id_col), F.explode(grams).alias("gram"))
     counts = gram_rows.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("cnt"))
-    top = counts.groupBy(id_col).agg(
-        F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("gram"))).alias("t")
+    gstats = counts.groupBy(id_col).agg(
+        F.sum("cnt").cast("int").alias("_ng"),
+        F.count(F.lit(1)).cast("int").alias("_ndg"),
+        F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("gram"))).alias("t"),
     ).select(
         F.col(id_col),
-        (-F.col("t.neg")).alias("_top_cnt"),
-        F.length("t.gram").alias("_top_len"),
+        F.col("_ng"),
+        F.col("_ndg"),
+        ((-F.col("t.neg")) * F.length("t.gram")).alias("_top_chars"),
     )
 
-    out = base.join(top, id_col, "left").select(
+    out = scalars.join(gstats, id_col, "left").select(
         F.col(id_col),
         F.col("n_lines"),
         _frac(F.col("n_lines") - F.col("_ndl"), F.col("n_lines")).alias("dup_line_frac"),
@@ -141,12 +145,14 @@ def repetition_stats(
         F.col("n_paras"),
         _frac(F.col("n_paras") - F.col("_ndp"), F.col("n_paras")).alias("dup_para_frac"),
         _frac(F.col("_cp") - F.col("_cdp"), F.col("_cp")).alias("dup_para_char_frac"),
-        F.col("n_ngrams"),
-        _frac(F.col("n_ngrams") - F.col("_ndg"), F.col("n_ngrams")).alias("dup_ngram_frac"),
+        F.coalesce(F.col("_ng"), F.lit(0)).alias("n_ngrams"),
         _frac(
-            F.coalesce(F.col("_top_cnt") * F.col("_top_len"), F.lit(0)),
-            F.col("_n_chars"),
-        ).alias("top_ngram_char_frac"),
+            F.coalesce(F.col("_ng") - F.col("_ndg"), F.lit(0)),
+            F.coalesce(F.col("_ng"), F.lit(0)),
+        ).alias("dup_ngram_frac"),
+        _frac(F.coalesce(F.col("_top_chars"), F.lit(0)), F.col("_n_chars")).alias(
+            "top_ngram_char_frac"
+        ),
     )
     return out
 
