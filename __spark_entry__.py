@@ -18,7 +18,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ivory_spark.ops import dedup as D
 from ivory_spark.ops import ir_relational as IR
+from ivory_spark.ops import pii as PII
 from ivory_spark.ops import repetition as RP
+from ivory_spark.ops import sampling as SP
 from ivory_spark.ops import similarity as SIM
 from ivory_spark.ops import textstats as TS
 from ivory_spark.sources.testdata import documents_as_corpus, read_table
@@ -197,6 +199,55 @@ def _docs_structured(spark, sf_dir):
 _SQL_STRUCTURED_TEXT = (
     "replace(replace(text, ' table ', chr(10) || chr(10)), ' the ', chr(10))"
 )
+
+
+def _docs_pii(spark, sf_dir):
+    """documents with deterministic PII injected (the synthetic text has
+    no emails/phones/IPs, which would leave the PII gates all-zero):
+    every 3rd doc gains two emails, every 4th an international phone,
+    every 5th an IPv4 — so the gates exercise multi-match counting,
+    redaction order, and the untouched-text path on one table. The
+    DuckDB twin applies the identical concatenation."""
+    d = _docs(spark, sf_dir)
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit(" contact alice.smith+spam@mail.example.org or Bob.J@EX.co now"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0, F.lit(" call +1 555-867 5309 today")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit(" host 10.0.254.7 responded")
+        ).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", t.alias("text"))
+
+
+# DuckDB twin of _docs_pii's text expression
+_SQL_PII_TEXT = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN"
+    " ' contact alice.smith+spam@mail.example.org or Bob.J@EX.co now' ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN ' call +1 555-867 5309 today' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' host 10.0.254.7 responded' ELSE '' END"
+)
+
+# gate parameters for the sampling suite (shared by queries() and oracle_sql())
+_SPLIT_WEIGHTS = {"train": 8.0, "val": 1.0, "test": 1.0}
+_MIX_RATES = {"src0": 0.9, "src1": 0.5, "src2": 0.25, "src3": 1.0}
+
+
+def _pii_redact_fp(spark, sf_dir):
+    """redact_pii projected to a hashable gate shape: (doc_id, fp16 =
+    md5 prefix of the redacted text, n_chars)."""
+    r = PII.redact_pii(_docs_pii(spark, sf_dir))
+    return r.select(
+        "doc_id",
+        F.substring(F.md5("text"), 1, 16).alias("fp16"),
+        F.length("text").cast("int").alias("n_chars"),
+    )
 
 
 def _source_fingerprint(sf_dir: str) -> str:
@@ -1552,6 +1603,77 @@ SELECT h.doc_id, ns.n_shingles::INT AS n_shingles, h.n_hits::INT AS n_hits,
 FROM h JOIN ns USING (doc_id)"""
 
 
+def _sql_u60(salt: str, key: str = "doc_id") -> str:
+    """DuckDB twin of ops/sampling._u: 60-bit md5 hash scaled to [0,1)
+    by the exact power-of-two 2^60."""
+    return (
+        f"(('0x' || substr(md5('{salt}:' || {key}::VARCHAR), 1, 15))::BIGINT"
+        " / 1152921504606846976.0)"
+    )
+
+
+def _sql_pii_stats() -> str:
+    e, p, i = PII.EMAIL_RE, PII.PHONE_RE, PII.IPV4_RE
+    return f"""
+WITH t AS (SELECT doc_id, {_SQL_PII_TEXT} AS t FROM documents),
+c AS (SELECT doc_id,
+  len(regexp_extract_all(t, '{e}'))::INT AS n_emails,
+  len(regexp_extract_all(t, '{p}'))::INT AS n_phones,
+  len(regexp_extract_all(t, '{i}'))::INT AS n_ipv4 FROM t)
+SELECT doc_id, n_emails, n_phones, n_ipv4,
+       (n_emails + n_phones + n_ipv4 > 0) AS has_pii FROM c"""
+
+
+def _sql_pii_redact() -> str:
+    e, p, i = PII.EMAIL_RE, PII.PHONE_RE, PII.IPV4_RE
+    red = (
+        f"regexp_replace(regexp_replace(regexp_replace({_SQL_PII_TEXT}, "
+        f"'{e}', '<EMAIL>', 'g'), '{p}', '<PHONE>', 'g'), '{i}', '<IP>', 'g')"
+    )
+    return (
+        f"SELECT doc_id, substr(md5({red}), 1, 16) AS fp16, "
+        f"length({red})::INT AS n_chars FROM documents"
+    )
+
+
+def _sql_hash_split() -> str:
+    cases = " ".join(
+        f"WHEN u < {acc!r}::DOUBLE THEN '{name}'"
+        for name, acc in SP.split_boundaries(_SPLIT_WEIGHTS)
+    )
+    last = list(_SPLIT_WEIGHTS)[-1]
+    return (
+        f"WITH u AS (SELECT doc_id, {_sql_u60('split')} AS u FROM documents) "
+        f"SELECT doc_id, CASE {cases} ELSE '{last}' END AS split FROM u"
+    )
+
+
+def _sql_mixture_sample() -> str:
+    cases = " ".join(f"WHEN '{s}' THEN {r!r}::DOUBLE" for s, r in _MIX_RATES.items())
+    return (
+        f"SELECT doc_id, source FROM documents "
+        f"WHERE {_sql_u60('mix')} < CASE source {cases} ELSE 0.0::DOUBLE END"
+    )
+
+
+def _sql_pack_sequences(budget: int = 256, n_shards: int = 4) -> str:
+    return f"""
+WITH b AS (SELECT doc_id,
+    (('0x' || substr(md5('shard:' || doc_id::VARCHAR), 1, 15))::BIGINT % {n_shards})::INT AS shard,
+    len(list_filter(string_split(lower(text), ' '), x -> x <> ''))::BIGINT AS n_tokens
+  FROM documents),
+p AS (SELECT doc_id, shard, n_tokens,
+    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_start
+  FROM b)
+SELECT doc_id, shard, n_tokens, tok_start,
+  (tok_start // {budget})::BIGINT AS seq_first,
+  (CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // {budget}
+        ELSE tok_start // {budget} END)::BIGINT AS seq_last,
+  (tok_start % {budget})::BIGINT AS offset_in_seq
+FROM p"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- IR pipeline (SURVEY.md §2: A1-A8, F1/F2/F5, K1/K2, J4/J5, P1) ---
@@ -1597,6 +1719,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d).filter(F.col("doc_id") % 17 == 0),
             n=4,
         ),
+        # --- pipeline assembly: PII / sampling / packing ------------------
+        "pii_stats": lambda s, d: PII.pii_stats(_docs_pii(s, d)),
+        "pii_redact": _pii_redact_fp,
+        "sample_hash_split": lambda s, d: SP.hash_split(
+            _docs(s, d), _SPLIT_WEIGHTS
+        ).select("doc_id", "split"),
+        "sample_mixture": lambda s, d: SP.mixture_sample(_docs(s, d), _MIX_RATES).select(
+            "doc_id", "source"
+        ),
+        "pack_sequences": lambda s, d: SP.pack_sequences(_docs(s, d), budget=256, n_shards=4),
         # --- engine-native (float32 kernels; DuckDB float32-emulating oracles)
         "engine_bm25_top10": _engine_bm25_top10,
         "engine_nl_bm25_top10": _engine_nl_bm25_top10,
@@ -1757,6 +1889,11 @@ FROM b""",
         "text_repetition": _sql_text_repetition(3),
         "dedup_common_ngrams": _sql_common_ngrams(3, 5),
         "dedup_decontaminate": _sql_decontaminate(4, 17),
+        "pii_stats": _sql_pii_stats(),
+        "pii_redact": _sql_pii_redact(),
+        "sample_hash_split": _sql_hash_split(),
+        "sample_mixture": _sql_mixture_sample(),
+        "pack_sequences": _sql_pack_sequences(256, 4),
         "text_fingerprint": "SELECT doc_id, substr(md5(array_to_string("
         "list_filter(string_split(lower(text), ' '), x -> x <> ''), ' ')), 1, 16) AS fp16 "
         "FROM documents",

@@ -1,0 +1,190 @@
+"""Deterministic sampling / splitting / sequence-packing operators for
+training-data pipelines.
+
+The reference engine stops at retrieval; assembling a pretraining corpus
+additionally needs (a) reproducible train/val/test splits, (b) source
+mixture weighting (sample each source at a different rate to hit target
+proportions, cf. GPT-3 §2.2 / The Pile §1), and (c) token-budget
+sequence packing (concatenate documents in a deterministic order and
+chunk into fixed-length training sequences). All three are pure
+column/window expressions — no Python in the hot path — and every
+random choice is an md5 hash of the row key, so the result is identical
+across partition counts, reruns, and engines (the DuckDB oracle replays
+the same arithmetic).
+
+Scale shapes:
+- hash_split / mixture_sample: per-row projection + filter, zero
+  shuffle; rates live in the plan as literals (or a broadcast-size CASE).
+- pack_sequences: one shuffle — hash-shard the corpus, then a running
+  sum window within each shard. Shard count bounds the sort size
+  (100 TB / n_shards per task), and sequences never cross shards, so
+  packing parallelism is explicit and independent of input partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ivory_spark.ops.textstats import _tokens
+
+# 16^15 — the hash domain of the 15-hex-digit md5 prefix used below.
+# A power of two, so h / HASH_DOMAIN is an exact binary scaling and
+# u-vs-threshold comparisons agree bit-for-bit across engines.
+HASH_DOMAIN = float(1 << 60)
+
+
+def _h60(seed: str, col):
+    """Portable 60-bit hash: bigint of the first 15 hex chars of
+    md5(seed || ':' || value). Same construction as ops/dedup._h —
+    DuckDB twin: ('0x' || substr(md5(seed || ':' || v), 1, 15))::BIGINT."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+
+def _u(seed: str, col):
+    """Deterministic uniform in [0, 1): hash scaled by 2^-60 (exact)."""
+    return _h60(seed, col) / F.lit(HASH_DOMAIN)
+
+
+def split_boundaries(weights: dict[str, float]) -> list[tuple[str, float]]:
+    """(name, cumulative upper bound) per split, last bound omitted (it
+    is the catch-all). Shared by hash_split and its SQL oracle twin so
+    the float accumulation is bit-identical in both engines."""
+    total = float(sum(weights.values()))
+    out, acc = [], 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        out.append((name, acc))
+    return out
+
+
+def hash_split(
+    docs: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by hashing its id: returns the
+    input plus a `split` column. weights are relative (normalized here);
+    assignment is u(md5(salt:id)) against the cumulative weight
+    boundaries, so it is independent of row order, partitioning, and
+    engine — the property `sample()` / `randomSplit()` do NOT have.
+
+    Rows-per-split is binomial around the target fraction (exact
+    proportions would need a global sort); docs sharing an id land in
+    the same split, which is what leakage-free eval wants.
+    """
+    u = _u(salt, F.col(id_col))
+    expr = None
+    for name, acc in split_boundaries(weights):
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(list(weights)[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return docs.withColumn("split", expr)
+
+
+def mixture_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Keep each row with its source's probability, deterministically:
+    row survives iff u(md5(salt:id)) < rates[source]. Sources missing
+    from `rates` default to 0 (dropped). Pure filter — no shuffle; the
+    rate table compiles to a CASE over source literals (mixtures have
+    dozens of sources, not millions).
+    """
+    u = _u(salt, F.col(id_col))
+    rate = None
+    for name, r in rates.items():
+        cond = F.col(source_col) == F.lit(name)
+        rate = F.when(cond, F.lit(float(r))) if rate is None else rate.when(cond, F.lit(float(r)))
+    rate = F.lit(0.0) if rate is None else rate.otherwise(F.lit(0.0))
+    return docs.filter(u < rate)
+
+
+def mixture_rates(
+    docs: DataFrame,
+    weights: dict[str, float],
+    target_rows: int,
+    source_col: str = "source",
+) -> dict[str, float]:
+    """Per-source sampling rates that hit `target_rows` total at the
+    given relative mixture weights: rate_s = min(1, target * w_s /
+    (sum_w * n_s)). One partial-aggregated count per source (bounded by
+    the number of sources, not rows) — the only driver-side step in the
+    mixture pipeline, and it collects len(weights) rows.
+    """
+    counts = {
+        r[0]: r[1]
+        for r in docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total_w = float(sum(weights.values()))
+    return {
+        s: min(1.0, target_rows * (w / total_w) / counts[s])
+        for s, w in weights.items()
+        if counts.get(s)
+    }
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concatenation packing (GPT-style): documents are laid out
+    end-to-end in a deterministic order and chunked into fixed
+    `budget`-token training sequences; documents may straddle chunk
+    boundaries. Returns per-document placement:
+
+    (doc_id, shard, n_tokens, tok_start, seq_first, seq_last,
+     offset_in_seq) where tok_start is the document's offset in its
+    shard's token stream, seq_first/seq_last the first/last sequence
+    index it touches (empty docs occupy no space: seq_last = seq_first),
+    and offset_in_seq its offset inside seq_first.
+
+    Layout order is (shard = md5-hash(id) mod n_shards, id ascending) —
+    reproducible across engines and partition counts. One shuffle: the
+    running-sum window sorts each shard once; shard size bounds the
+    per-task sort, and sequences never cross shards so downstream chunk
+    materialization is embarrassingly parallel.
+    """
+    ntok = F.size(_tokens(F.col(text_col)))
+    shard = (_h60("shard", F.col(id_col)) % n_shards).cast("int")
+    base = docs.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        ntok.cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tok_start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("tok_start")
+    placed = base.select(id_col, "shard", "n_tokens", tok_start)
+    # integer `div`, not `/`: Spark's `/` is double division, which stops
+    # being exact past 2^53 tokens — a real corpus size, not a corner.
+    b = int(budget)
+    seq_first = F.expr(f"tok_start div {b}")
+    seq_last = F.when(
+        F.col("n_tokens") > 0, F.expr(f"(tok_start + n_tokens - 1) div {b}")
+    ).otherwise(seq_first)
+    return placed.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        "tok_start",
+        seq_first.cast("long").alias("seq_first"),
+        seq_last.cast("long").alias("seq_last"),
+        (F.col("tok_start") % F.lit(b)).cast("long").alias("offset_in_seq"),
+    )
