@@ -153,6 +153,35 @@ def main() -> None:
     sections.append(("bitext sentence-pair plan",
                      f"BroadcastNestedLoopJoin present: {not ok_bitext}\n"))
 
+    # pipeline-assembly ops: PII scrub and split/mixture must be pure
+    # per-row projections/filters (zero Exchange — the whole point of
+    # hash-keyed determinism); sequence packing must shuffle exactly
+    # once, on the shard key its window sorts by
+    from ivory_spark.ops import pii as PII
+    from ivory_spark.ops import sampling as SP
+
+    pii_plan = captured_explain(PII.pii_stats(docs))
+    split_plan = captured_explain(
+        SP.hash_split(docs, {"train": 8.0, "val": 1.0, "test": 1.0})
+    )
+    mix_plan = captured_explain(SP.mixture_sample(docs, {"src0": 0.5}))
+    pack_plan = captured_explain(SP.pack_sequences(docs, budget=256, n_shards=4))
+    import re
+
+    ok_rowops = all("Exchange" not in p for p in (pii_plan, split_plan, mix_plan))
+    # formatted explain prints each node twice (tree + detail header),
+    # so count "(n) Exchange" node headers, not raw substring hits
+    ok_pack = (
+        len(re.findall(r"\(\d+\) Exchange", pack_plan)) == 1
+        and "hashpartitioning(shard" in pack_plan
+        and "Window" in pack_plan
+    )
+    sections.append(
+        ("pipeline-assembly checks",
+         f"pii/split/mixture are zero-Exchange row ops: {ok_rowops}\n"
+         f"pack_sequences = one shard Exchange + Window: {ok_pack}\n")
+    )
+
     # cascade candidates_df flow: the stage-2 plan must contain the
     # allow-list UNION feeding the same (qid, shard) groupBy — survivors
     # ride the shuffle, they never detour through the driver
@@ -184,6 +213,8 @@ def main() -> None:
     print("PRF_PUSHDOWN_OK" if ok_prf else "PRF_PUSHDOWN_MISSING")
     print("IVF_KEYED_JOIN_OK" if ok_ivf else "IVF_CARTESIAN_PRESENT")
     print("BITEXT_NO_BNLJ_OK" if ok_bitext else "BITEXT_BNLJ_PRESENT")
+    print("ROWOPS_NO_EXCHANGE_OK" if ok_rowops else "ROWOPS_EXCHANGE_PRESENT")
+    print("PACK_ONE_EXCHANGE_OK" if ok_pack else "PACK_PLAN_UNEXPECTED")
     if ok_casc is not None:
         print("CASCADE_UNION_OK" if ok_casc else "CASCADE_UNION_MISSING")
 
