@@ -16,12 +16,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ivory_spark.ops import curate as CU
 from ivory_spark.ops import dedup as D
 from ivory_spark.ops import ir_relational as IR
 from ivory_spark.ops import pii as PII
 from ivory_spark.ops import repetition as RP
 from ivory_spark.ops import sampling as SP
 from ivory_spark.ops import similarity as SIM
+from ivory_spark.ops import substring as SUB
 from ivory_spark.ops import textstats as TS
 from ivory_spark.sources.testdata import documents_as_corpus, read_table
 
@@ -247,6 +249,70 @@ def _pii_redact_fp(spark, sf_dir):
         "doc_id",
         F.substring(F.md5("text"), 1, 16).alias("fp16"),
         F.length("text").cast("int").alias("n_chars"),
+    )
+
+
+# Duplicate canary for the curate_pipeline gate: every 13th doc's text is
+# replaced wholesale by this constant, so the exact-dedup stage visibly
+# collapses 39 docs -> 1 at sf0.01. Built from tokens outside the synthetic
+# vocabulary (no 4-gram run of stopwords reaches length 4), so the canary
+# never trips the decontamination stage; 9/22 stopwords + 22 distinct
+# tokens put its quality score at 1.0, clearing the gate's 0.6 floor.
+_CURATE_CANARY = (
+    "zanzibar quokka and the xylophone of a marimba is qwerty for wombat"
+    " on kumquat with jacaranda in bandicoot narwhal axolotl pangolin vicuna"
+)
+
+
+def _docs_curate(spark, sf_dir):
+    """curate_pipeline gate input: PII-injected documents with the
+    duplicate canary overriding every 13th doc, so one table exercises
+    the quality gate (min_quality=0.6 keeps ~half), exact dedup (39
+    identical canaries), decontamination (vs the doc_id%17 benchmark
+    slice) and redaction (the injected PII) in a single composed run."""
+    d = _docs_pii(spark, sf_dir)
+    t = F.when(F.col("doc_id") % 13 == 0, F.lit(_CURATE_CANARY)).otherwise(
+        F.col("text")
+    )
+    return d.select("doc_id", t.alias("text"))
+
+
+# DuckDB twin of _docs_curate's text expression
+_SQL_CURATE_TEXT = (
+    f"CASE WHEN doc_id % 13 = 0 THEN '{_CURATE_CANARY}' ELSE {_SQL_PII_TEXT} END"
+)
+
+
+def _curate_pipeline(spark, sf_dir):
+    """One-call curation recipe (ops/curate.curate_corpus) over the
+    canary+PII table: quality gate -> exact dedup -> benchmark
+    decontamination -> PII redaction -> hash split, projected to a
+    hashable shape (doc_id, fp16 of the redacted text, n_chars, split).
+    The repetition and near-dup stages are disabled here — each has its
+    own dedicated gate — keeping the oracle a five-stage CTE chain."""
+    docs = _docs_curate(spark, sf_dir)
+    bench = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 17 == 0)
+        .select("doc_id", "text")
+    )
+    out = CU.curate_corpus(
+        docs,
+        min_quality=0.6,
+        max_dup_line_frac=None,
+        max_top_ngram_char_frac=None,
+        exact_dedup=True,
+        neardup_threshold=None,
+        benchmark=bench,
+        decontaminate_ngram=4,
+        redact=True,
+        split_weights=_SPLIT_WEIGHTS,
+    )
+    return out.select(
+        "doc_id",
+        F.substring(F.md5("text"), 1, 16).alias("fp16"),
+        F.length("text").cast("int").alias("n_chars"),
+        "split",
     )
 
 
@@ -1674,6 +1740,119 @@ SELECT doc_id, shard, n_tokens, tok_start,
 FROM p"""
 
 
+def _sql_substring_ctes(k: int, min_count: int) -> str:
+    """Shared CTE chain t -> w -> s -> marked -> spans: the DuckDB twin
+    of ops/substring.duplicate_spans (k-token window hashes, global
+    count + first occurrence, keep-first marking, interval merge). The
+    first occurrence is ordered by the packed key doc_id*1e9+pos, which
+    equals Spark's lexicographic min(struct(doc_id, pos)) for any
+    realistic document length."""
+    return f"""
+t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents),
+w AS (SELECT doc_id, p - 1 AS pos, md5(array_to_string(toks[p:p+{k - 1}], ' ')) AS h
+      FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - {k - 1}, 0))) AS p) l),
+s AS (SELECT h, count(*) AS cnt, min(doc_id * 1000000000 + pos) AS fk FROM w GROUP BY h),
+marked AS (SELECT w.doc_id, w.pos FROM w JOIN s USING (h)
+           WHERE cnt >= {min_count} AND w.doc_id * 1000000000 + w.pos <> fk),
+m2 AS (SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos + {k - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+              THEN 1 ELSE 0 END AS new_span
+       FROM marked),
+m3 AS (SELECT doc_id, pos, sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+       FROM m2),
+spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + {k - 1} AS span_end,
+            (max(pos) + {k - 1} - min(pos) + 1)::INT AS n_tokens, count(*)::INT AS n_windows
+          FROM m3 GROUP BY doc_id, span_id)"""
+
+
+def _sql_substring_spans(k: int = 5, min_count: int = 2) -> str:
+    return f"""
+WITH {_sql_substring_ctes(k, min_count)}
+SELECT doc_id, span_start, span_end, n_tokens, n_windows FROM spans"""
+
+
+def _sql_substring_strip(k: int = 5, min_count: int = 2) -> str:
+    """DuckDB twin of strip_duplicate_spans projected to the gate shape
+    (doc_id, fp16 of the stripped canonical text, n_kept, n_removed)."""
+    return f"""
+WITH {_sql_substring_ctes(k, min_count)},
+tok AS (SELECT doc_id, gs - 1 AS pos, toks[gs] AS term
+        FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS gs) l),
+keep AS (SELECT tok.doc_id, tok.pos, tok.term FROM tok
+         WHERE NOT EXISTS (SELECT 1 FROM spans sp
+               WHERE sp.doc_id = tok.doc_id
+                 AND tok.pos BETWEEN sp.span_start AND sp.span_end)),
+agg AS (SELECT doc_id, string_agg(term, ' ' ORDER BY pos) AS rt, count(*) AS nk
+        FROM keep GROUP BY doc_id)
+SELECT t.doc_id, substr(md5(coalesce(agg.rt, '')), 1, 16) AS fp16,
+       coalesce(agg.nk, 0)::INT AS n_kept,
+       (len(t.toks) - coalesce(agg.nk, 0))::INT AS n_removed
+FROM t LEFT JOIN agg USING (doc_id)"""
+
+
+def _substring_strip_fp(spark, sf_dir):
+    """strip_duplicate_spans projected to a hashable gate shape."""
+    r = SUB.strip_duplicate_spans(_docs(spark, sf_dir), k=5)
+    return r.select(
+        "doc_id",
+        F.substring(F.md5("text"), 1, 16).alias("fp16"),
+        "n_kept",
+        "n_removed",
+    )
+
+
+def _sql_curate_pipeline() -> str:
+    """DuckDB twin of _curate_pipeline: the five enabled curation stages
+    composed as one CTE chain — quality floor (0.6), exact dedup (min id
+    per sha256), 4-gram decontamination vs the doc_id%17 slice, PII
+    redaction (email -> phone -> IPv4, the redact_pii order), md5 hash
+    split. Reuses the per-stage oracle arithmetic verbatim."""
+    stop = ", ".join(f"'{s}'" for s in TS.STOPWORDS_EN)
+    e, p, i = PII.EMAIL_RE, PII.PHONE_RE, PII.IPV4_RE
+    red = (
+        "regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{e}', '<EMAIL>', 'g'), '{p}', '<PHONE>', 'g'), '{i}', '<IP>', 'g')"
+    )
+    cases = " ".join(
+        f"WHEN u < {acc!r}::DOUBLE THEN '{name}'"
+        for name, acc in SP.split_boundaries(_SPLIT_WEIGHTS)
+    )
+    last = list(_SPLIT_WEIGHTS)[-1]
+    grams = (
+        "SELECT DISTINCT doc_id, array_to_string(toks[p:p+3], ' ') AS gram "
+        "FROM {src}, LATERAL (SELECT unnest(generate_series(1, "
+        "greatest(len(toks) - 3, 0))) AS p) l"
+    )
+    return f"""
+WITH src AS (SELECT doc_id, {_SQL_CURATE_TEXT} AS text FROM documents),
+qt AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term FROM src),
+qa AS (SELECT doc_id, count(*) AS n,
+         sum(CASE WHEN term IN ({stop}) THEN 1 ELSE 0 END) AS ns,
+         count(DISTINCT term) AS nd
+       FROM qt GROUP BY doc_id),
+q AS (SELECT doc_id FROM qa
+      WHERE round(((CASE WHEN n >= 10 AND n <= 100000 THEN 1.0 ELSE 0.0 END)
+            + least(ns / greatest(n, 1) * 5.0, 1.0)
+            + nd / greatest(n, 1)) / 3.0, 6) >= 0.6),
+k1 AS (SELECT s.doc_id, s.text FROM src s JOIN q USING (doc_id)),
+d AS (SELECT min(doc_id) AS doc_id FROM k1 GROUP BY sha256(text)),
+k2 AS (SELECT k1.doc_id, k1.text FROM k1 JOIN d USING (doc_id)),
+ct AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks FROM k2),
+cg AS ({grams.format(src="ct")}),
+bt AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+       FROM documents WHERE doc_id % 17 = 0),
+bg AS (SELECT DISTINCT gram FROM ({grams.format(src="bt")})),
+kill AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (gram)),
+k3 AS (SELECT doc_id, {red} AS rt FROM k2
+       WHERE doc_id NOT IN (SELECT doc_id FROM kill))
+SELECT doc_id, substr(md5(rt), 1, 16) AS fp16, length(rt)::INT AS n_chars,
+       CASE {cases} ELSE '{last}' END AS split
+FROM (SELECT doc_id, rt, {_sql_u60('split')} AS u FROM k3)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- IR pipeline (SURVEY.md §2: A1-A8, F1/F2/F5, K1/K2, J4/J5, P1) ---
@@ -1697,6 +1876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": lambda s, d: D.simhash(_docs(s, d)),
         "dedup_simhash_pairs": lambda s, d: D.simhash_pairs(D.simhash(_docs(s, d)), max_hamming=2),
         "dedup_ngram_jaccard": lambda s, d: D.ngram_jaccard_pairs(_docs(s, d), threshold=0.5),
+        "dedup_substring_spans": lambda s, d: SUB.duplicate_spans(_docs(s, d), k=5),
+        "dedup_substring_strip": _substring_strip_fp,
         "dedup_embedding_cosine": lambda s, d: D.embedding_neardup_pairs(
             read_table(s, d, "embeddings"), threshold=0.3
         ),
@@ -1729,6 +1910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "source"
         ),
         "pack_sequences": lambda s, d: SP.pack_sequences(_docs(s, d), budget=256, n_shards=4),
+        "curate_pipeline": _curate_pipeline,
         # --- engine-native (float32 kernels; DuckDB float32-emulating oracles)
         "engine_bm25_top10": _engine_bm25_top10,
         "engine_nl_bm25_top10": _engine_nl_bm25_top10,
@@ -1894,6 +2076,9 @@ FROM b""",
         "sample_hash_split": _sql_hash_split(),
         "sample_mixture": _sql_mixture_sample(),
         "pack_sequences": _sql_pack_sequences(256, 4),
+        "curate_pipeline": _sql_curate_pipeline(),
+        "dedup_substring_spans": _sql_substring_spans(5, 2),
+        "dedup_substring_strip": _sql_substring_strip(5, 2),
         "text_fingerprint": "SELECT doc_id, substr(md5(array_to_string("
         "list_filter(string_split(lower(text), ' '), x -> x <> ''), ' ')), 1, 16) AS fp16 "
         "FROM documents",

@@ -182,6 +182,27 @@ def main() -> None:
          f"pack_sequences = one shard Exchange + Window: {ok_pack}\n")
     )
 
+    # substring dedup: the window-hash rollup must be partial-aggregated
+    # (map-side combine before the shuffle — the reason a hot boilerplate
+    # window cannot skew the reduce side) and the first-occurrence pick
+    # must NOT be a rank() window over the hash (no per-key sort); the
+    # strip join back to docs must stay a keyed join
+    from ivory_spark.ops.substring import duplicate_spans, strip_duplicate_spans
+
+    spans_plan = captured_explain(duplicate_spans(docs, k=5))
+    strip_plan = captured_explain(strip_duplicate_spans(docs, k=5))
+    ok_substr = (
+        "partial_count" in spans_plan
+        and "rank(" not in spans_plan
+        and "CartesianProduct" not in spans_plan
+        and "BroadcastNestedLoopJoin" not in strip_plan
+        and "CartesianProduct" not in strip_plan
+    )
+    sections.append(
+        ("substring-dedup checks",
+         f"hash rollup partial-aggregated, rank-free, keyed joins: {ok_substr}\n")
+    )
+
     # cascade candidates_df flow: the stage-2 plan must contain the
     # allow-list UNION feeding the same (qid, shard) groupBy — survivors
     # ride the shuffle, they never detour through the driver
@@ -215,6 +236,7 @@ def main() -> None:
     print("BITEXT_NO_BNLJ_OK" if ok_bitext else "BITEXT_BNLJ_PRESENT")
     print("ROWOPS_NO_EXCHANGE_OK" if ok_rowops else "ROWOPS_EXCHANGE_PRESENT")
     print("PACK_ONE_EXCHANGE_OK" if ok_pack else "PACK_PLAN_UNEXPECTED")
+    print("SUBSTR_PLAN_OK" if ok_substr else "SUBSTR_PLAN_UNEXPECTED")
     if ok_casc is not None:
         print("CASCADE_UNION_OK" if ok_casc else "CASCADE_UNION_MISSING")
 
