@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ivory_spark.ops import curate as CU
 from ivory_spark.ops import dedup as D
+from ivory_spark.ops import domains as DOM
 from ivory_spark.ops import ir_relational as IR
 from ivory_spark.ops import pii as PII
 from ivory_spark.ops import repetition as RP
@@ -1803,6 +1804,130 @@ def _substring_strip_fp(spark, sf_dir):
     )
 
 
+def _docs_url(spark, sf_dir):
+    """domain-gate input: documents with a deterministic URL injected
+    (the synthetic table has none) — seven siteN.example.com hosts by
+    doc_id%7, every 13th doc scheme-less so the empty-domain path is
+    exercised. The DuckDB twin concatenates identically."""
+    d = _docs(spark, sf_dir)
+    url = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(F.lit("bare.example/path/"), F.col("doc_id").cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/a/"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    return d.select("doc_id", url.alias("url"), "text")
+
+
+# DuckDB twin of _docs_url's url expression
+_SQL_URL = (
+    "CASE WHEN doc_id % 13 = 0 THEN 'bare.example/path/' || doc_id::VARCHAR"
+    " ELSE 'https://site' || (doc_id % 7)::VARCHAR || '.example.com/a/'"
+    " || doc_id::VARCHAR END"
+)
+
+# shared CTE: url injection + domain extraction (twin of extract_domain)
+_SQL_DOMAIN_CTE = f"""
+u AS (SELECT doc_id, {_SQL_URL} AS url, text FROM documents),
+d AS (SELECT doc_id, lower(regexp_extract(url, '{DOM.DOMAIN_RE}', 1)) AS domain, text
+      FROM u)"""
+
+
+def _sql_domain_stats() -> str:
+    return f"""
+WITH {_SQL_DOMAIN_CTE}
+SELECT domain, count(*)::INT AS n_docs, sum(length(text))::BIGINT AS n_chars
+FROM d GROUP BY domain"""
+
+
+def _sql_domain_cap(max_docs: int = 20) -> str:
+    return f"""
+WITH {_SQL_DOMAIN_CTE},
+r AS (SELECT doc_id, row_number() OVER (PARTITION BY domain
+        ORDER BY {_sql_u60("domain-cap")}, doc_id) AS rn FROM d)
+SELECT doc_id FROM r WHERE rn <= {max_docs}"""
+
+
+def _sql_domain_cap_approx(max_docs: int = 20) -> str:
+    return f"""
+WITH {_SQL_DOMAIN_CTE},
+c AS (SELECT domain, count(*) AS cnt FROM d GROUP BY domain)
+SELECT doc_id FROM d JOIN c USING (domain)
+WHERE {_sql_u60("domain-cap")} < least(1.0, {float(max_docs)!r} / cnt)"""
+
+
+def _sql_domain_blocklist(blocked: str) -> str:
+    return f"""
+WITH {_SQL_DOMAIN_CTE}
+SELECT doc_id FROM d WHERE domain <> '{blocked}'"""
+
+
+def _sql_line_strip(min_count: int = 2) -> str:
+    """DuckDB twin of strip_duplicate_lines over the newline-injected
+    text, projected to (doc_id, fp16 of the rewritten text, n_kept,
+    n_removed). Grouping directly on the line is equivalent to Spark's
+    md5(line) shuffle key; the packed key replays min(struct(doc_id,
+    pos)) for the keep-first rule."""
+    return f"""
+WITH t AS (SELECT doc_id, list_filter(list_transform(string_split({_SQL_STRUCTURED_TEXT},
+             chr(10)), s -> trim(s)), s -> s <> '') AS lines FROM documents),
+l AS (SELECT doc_id, gs - 1 AS pos, lines[gs] AS line
+      FROM t, LATERAL (SELECT unnest(generate_series(1, len(lines))) AS gs) g),
+s AS (SELECT line, count(*) AS cnt, min(doc_id * 1000000000 + pos) AS fk
+      FROM l GROUP BY line),
+keep AS (SELECT l.doc_id, l.pos, l.line FROM l JOIN s USING (line)
+         WHERE cnt < {min_count} OR doc_id * 1000000000 + pos = fk),
+agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS rt, count(*) AS nk
+        FROM keep GROUP BY doc_id)
+SELECT t.doc_id, substr(md5(coalesce(agg.rt, '')), 1, 16) AS fp16,
+       coalesce(agg.nk, 0)::INT AS n_kept,
+       (len(t.lines) - coalesce(agg.nk, 0))::INT AS n_removed
+FROM t LEFT JOIN agg USING (doc_id)"""
+
+
+def _line_strip_fp(spark, sf_dir):
+    """strip_duplicate_lines over the newline-injected documents,
+    projected to a hashable gate shape."""
+    r = SUB.strip_duplicate_lines(_docs_structured(spark, sf_dir))
+    return r.select(
+        "doc_id",
+        F.substring(F.md5("text"), 1, 16).alias("fp16"),
+        "n_kept",
+        "n_removed",
+    )
+
+
+def _sql_cluster_reps(threshold: float = 0.8) -> str:
+    """DuckDB twin of cluster_representatives over the minhash duplicate
+    clusters: quality-ranked representative per cluster (row_number by
+    quality DESC, doc_id ASC == Spark's max over the (quality, -id)
+    struct)."""
+    stop = ", ".join(f"'{s}'" for s in TS.STOPWORDS_EN)
+    return f"""
+WITH clus AS (SELECT * FROM ({_sql_minhash_clusters(threshold)}) c),
+{TOKS},
+qa AS (SELECT doc_id, count(*) AS n,
+         sum(CASE WHEN term IN ({stop}) THEN 1 ELSE 0 END) AS ns,
+         count(DISTINCT term) AS nd
+       FROM toks GROUP BY doc_id),
+qual AS (SELECT doc_id,
+           round(((CASE WHEN n >= 10 AND n <= 100000 THEN 1.0 ELSE 0.0 END)
+             + least(ns / greatest(n, 1) * 5.0, 1.0)
+             + nd / greatest(n, 1)) / 3.0, 6) AS quality
+         FROM qa),
+scored AS (SELECT clus.cluster_id, clus.doc_id, qual.quality
+           FROM clus JOIN qual USING (doc_id))
+SELECT cluster_id, doc_id, quality FROM (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id
+            ORDER BY quality DESC, doc_id) AS rn
+  FROM scored) WHERE rn = 1"""
+
+
 def _sql_curate_pipeline() -> str:
     """DuckDB twin of _curate_pipeline: the five enabled curation stages
     composed as one CTE chain — quality floor (0.6), exact dedup (min id
@@ -1878,6 +2003,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": lambda s, d: D.ngram_jaccard_pairs(_docs(s, d), threshold=0.5),
         "dedup_substring_spans": lambda s, d: SUB.duplicate_spans(_docs(s, d), k=5),
         "dedup_substring_strip": _substring_strip_fp,
+        "dedup_line_strip": _line_strip_fp,
+        "domain_stats": lambda s, d: DOM.domain_stats(_docs_url(s, d)),
+        "domain_cap": lambda s, d: DOM.cap_per_domain(_docs_url(s, d), 20).select("doc_id"),
+        "domain_cap_approx": lambda s, d: DOM.cap_per_domain_approx(
+            _docs_url(s, d), 20
+        ).select("doc_id"),
+        "domain_blocklist": lambda s, d: DOM.filter_blocklist(
+            _docs_url(s, d),
+            s.createDataFrame([("site3.example.com",)], ["domain"]),
+        ).select("doc_id"),
+        "dedup_cluster_reps": lambda s, d: D.cluster_representatives(
+            D.dedup_clusters(D.minhash_dedup_pairs(_docs(s, d), threshold=0.8)),
+            TS.quality_score(_docs(s, d)).select("doc_id", "quality"),
+            score_col="quality",
+        ),
         "dedup_embedding_cosine": lambda s, d: D.embedding_neardup_pairs(
             read_table(s, d, "embeddings"), threshold=0.3
         ),
@@ -2079,6 +2219,12 @@ FROM b""",
         "curate_pipeline": _sql_curate_pipeline(),
         "dedup_substring_spans": _sql_substring_spans(5, 2),
         "dedup_substring_strip": _sql_substring_strip(5, 2),
+        "dedup_line_strip": _sql_line_strip(2),
+        "dedup_cluster_reps": _sql_cluster_reps(0.8),
+        "domain_stats": _sql_domain_stats(),
+        "domain_cap": _sql_domain_cap(20),
+        "domain_cap_approx": _sql_domain_cap_approx(20),
+        "domain_blocklist": _sql_domain_blocklist("site3.example.com"),
         "text_fingerprint": "SELECT doc_id, substr(md5(array_to_string("
         "list_filter(string_split(lower(text), ' '), x -> x <> ''), ' ')), 1, 16) AS fp16 "
         "FROM documents",

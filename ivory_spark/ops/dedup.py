@@ -420,3 +420,32 @@ def dedup_clusters(
     out = labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
     edges.unpersist()
     return out
+
+
+def cluster_representatives(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Pick the best-scoring member of every duplicate cluster:
+    (cluster_id, doc_id, score_col), ties broken by smallest doc id.
+
+    The keep-the-best-copy policy real curation pipelines use instead
+    of keep-min-id — e.g. keep the longest or highest-quality duplicate
+    (pass quality_score output as `scores`). One equi-join plus one
+    partial-aggregated groupBy (max over a (score, -id) struct — no
+    per-cluster sort, no window), so a pathological million-member
+    cluster still reduces map-side.
+    """
+    j = clusters.join(scores.select(F.col(id_col), F.col(score_col)), id_col)
+    best = j.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(F.col(score_col).alias("s"), (-F.col(id_col)).alias("nid"))
+        ).alias("b")
+    )
+    return best.select(
+        "cluster_id",
+        (-F.col("b.nid")).alias(id_col),
+        F.col("b.s").alias(score_col),
+    )

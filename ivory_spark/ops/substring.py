@@ -112,6 +112,58 @@ def duplicate_spans(
     )
 
 
+def strip_duplicate_lines(
+    docs: DataFrame,
+    min_count: int = 2,
+    keep_first: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Line-granularity dedup (the CCNet paragraph-hash / C4 repeated-
+    line removal): lines occurring >= min_count times corpus-wide are
+    removed from every document except (with keep_first) the globally
+    first (doc_id, line position) occurrence.
+
+    Returns (id_col, text, n_kept, n_removed) over the CANONICAL line
+    stream: lines are trimmed, empty lines dropped, and the rewritten
+    text joins survivors with single newlines — the same segment prep
+    as ops/repetition.repetition_stats, so "line" means the same thing
+    across the suite.
+
+    Same scale shape as duplicate_spans, minus the interval merge: one
+    partial-aggregated groupBy on the line hash, an AQE-splittable join
+    back, per-doc marked positions collected into one array, and a JVM
+    higher-order filter doing the rewrite — no Python anywhere.
+    """
+    from ivory_spark.ops.repetition import _segments
+
+    lines = _segments(F.col(text_col), "\n")
+    occ = docs.select(
+        F.col(id_col), F.posexplode(lines).alias("pos", "line")
+    ).select(id_col, "pos", F.md5("line").alias("h"))
+    stats = occ.groupBy("h").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first_occ"),
+    )
+    marked = occ.join(stats.filter(F.col("cnt") >= min_count), "h")
+    if keep_first:
+        marked = marked.filter(
+            (F.col(id_col) != F.col("first_occ")[id_col])
+            | (F.col("pos") != F.col("first_occ")["pos"])
+        )
+    per_doc = marked.groupBy(id_col).agg(F.collect_list("pos").alias("_dups"))
+    joined = docs.join(per_doc, id_col, "left").withColumn(
+        "_dups", F.coalesce(F.col("_dups"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(lines, lambda line, i: ~F.array_contains(F.col("_dups"), i))
+    return joined.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias(text_col),
+        F.size(kept).cast("int").alias("n_kept"),
+        (F.size(lines) - F.size(kept)).cast("int").alias("n_removed"),
+    )
+
+
 def strip_duplicate_spans(
     docs: DataFrame,
     spans: DataFrame | None = None,

@@ -4,7 +4,12 @@ and all-but-one-occurrence stripping vs a brute-force python oracle.
 
 from pyspark.sql import functions as F
 
-from ivory_spark.ops.substring import duplicate_spans, strip_duplicate_spans
+from ivory_spark.ops.dedup import cluster_representatives
+from ivory_spark.ops.substring import (
+    duplicate_spans,
+    strip_duplicate_lines,
+    strip_duplicate_spans,
+)
 
 P = "red orange yellow green blue"  # the duplicated 5-token passage
 ROWS = [
@@ -95,6 +100,46 @@ def test_strip_reuses_precomputed_spans(spark):
     a = strip_duplicate_spans(docs, spans=spans).collect()
     b = strip_duplicate_spans(docs, k=3).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+LROWS = [
+    (1, "header\nunique one\nfooter"),
+    (2, "header\nunique two\nfooter"),
+    (3, "header\n\n  footer  \nunique three"),   # empty line + padding trimmed away
+    (4, "solo line"),
+]
+
+
+def test_strip_duplicate_lines_keep_first(spark):
+    docs = spark.createDataFrame(LROWS, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in strip_duplicate_lines(docs).collect()}
+    assert out[1]["text"] == "header\nunique one\nfooter"  # first copies survive
+    assert out[1]["n_removed"] == 0
+    assert out[2]["text"] == "unique two"
+    assert (out[2]["n_kept"], out[2]["n_removed"]) == (1, 2)
+    assert out[3]["text"] == "unique three"       # trimmed 'footer' matches doc 1's
+    assert out[3]["n_removed"] == 2
+    assert out[4]["text"] == "solo line" and out[4]["n_removed"] == 0
+
+
+def test_strip_duplicate_lines_all_occurrences(spark):
+    docs = spark.createDataFrame(LROWS, ["doc_id", "text"])
+    out = {r["doc_id"]: r["text"]
+           for r in strip_duplicate_lines(docs, keep_first=False).collect()}
+    assert out[1] == "unique one"   # doc 1's copies go too
+    assert out[2] == "unique two"
+
+
+def test_cluster_representatives_best_score_min_id_ties(spark):
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)], ["doc_id", "cluster_id"]
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (7, 0.1), (9, 0.1)], ["doc_id", "score"]
+    )
+    out = {r["cluster_id"]: (r["doc_id"], r["score"])
+           for r in cluster_representatives(clusters, scores).collect()}
+    assert out == {1: (2, 0.9), 7: (7, 0.1)}  # max score; tie -> smallest id
 
 
 def test_strip_canonicalizes_whitespace_and_case(spark):
