@@ -184,6 +184,26 @@ def big_block(spark, n_docs: int, cpus: int, sf_dir: str,
     ivf_topk(emb10, qv, k=5, n_centroids=16, nprobe=6).collect()
     out["ivf10x_sec"] = round(time.monotonic() - t0, 3)
     emb10.unpersist()
+
+    # full curation recipe over the same 500k corpus: quality gate +
+    # exact dedup + substring strip (k=20) + PII redact + hash split —
+    # the end-to-end training-data pipeline number (~15 s at 500k/8cpu)
+    from ivory_spark.ops.curate import curate_corpus
+
+    cdocs = spark.read.parquet(corpus_path).select(
+        F.abs(F.xxhash64("repo", "path", "commit")).alias("doc_id"),
+        F.col("content").alias("text"),
+    )
+    t0 = time.monotonic()
+    out["curate_rows"] = curate_corpus(
+        cdocs, min_quality=0.2, max_dup_line_frac=None,
+        max_top_ngram_char_frac=None, exact_dedup=True,
+        strip_dup_substrings_k=20, redact=True,
+        split_weights={"train": 98.0, "val": 1.0, "test": 1.0},
+    ).count()
+    curate_sec = time.monotonic() - t0
+    out["curate_sec"] = round(curate_sec, 3)
+    out["curate_docs_per_sec"] = round(n_docs / curate_sec, 1)
     return out
 
 
