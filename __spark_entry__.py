@@ -240,6 +240,9 @@ _SQL_PII_TEXT = (
 # gate parameters for the sampling suite (shared by queries() and oracle_sql())
 _SPLIT_WEIGHTS = {"train": 8.0, "val": 1.0, "test": 1.0}
 _MIX_RATES = {"src0": 0.9, "src1": 0.5, "src2": 0.25, "src3": 1.0}
+# per-source epoch counts for the upsampling gate: covers >1 whole part,
+# frac-only (0.75 drops some docs entirely), and integer (no frac branch)
+_EPOCHS = {"src0": 2.5, "src1": 1.25, "src2": 0.75, "src3": 3.0}
 
 
 def _pii_redact_fp(spark, sf_dir):
@@ -1741,6 +1744,38 @@ SELECT doc_id, shard, n_tokens, tok_start,
 FROM p"""
 
 
+def _sql_corpus_shuffle(n_buckets: int = 8) -> str:
+    """DuckDB twin of ops/sampling.corpus_shuffle: a plain global
+    row_number over (key, doc_id) — equal to Spark's bucketed
+    offset+rank because buckets are contiguous hash ranges."""
+    bits = n_buckets.bit_length() - 1
+    return f"""
+WITH k AS (SELECT doc_id,
+    ('0x' || substr(md5('shuffle:' || doc_id::VARCHAR), 1, 15))::BIGINT AS key
+  FROM documents)
+SELECT doc_id, (key >> {60 - bits})::INT AS bucket,
+       (row_number() OVER (ORDER BY key, doc_id) - 1)::BIGINT AS pos
+FROM k"""
+
+
+def _sql_epoch_upsample() -> str:
+    whole_cases = " ".join(
+        f"WHEN '{s}' THEN {int(float(e))}" for s, e in _EPOCHS.items()
+    )
+    frac_cases = " ".join(
+        f"WHEN '{s}' THEN {float(e) - int(float(e))!r}::DOUBLE"
+        for s, e in _EPOCHS.items()
+    )
+    return f"""
+WITH c AS (SELECT doc_id, source,
+    (CASE source {whole_cases} ELSE 0 END
+     + CASE WHEN {_sql_u60('epoch')} < CASE source {frac_cases} ELSE 0.0::DOUBLE END
+            THEN 1 ELSE 0 END) AS n
+  FROM documents)
+SELECT doc_id, source, (gs - 1)::INT AS epoch
+FROM c, LATERAL (SELECT unnest(generate_series(1, n)) AS gs) l"""
+
+
 def _sql_substring_ctes(k: int, min_count: int) -> str:
     """Shared CTE chain t -> w -> s -> marked -> spans: the DuckDB twin
     of ops/substring.duplicate_spans (k-token window hashes, global
@@ -2050,6 +2085,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "source"
         ),
         "pack_sequences": lambda s, d: SP.pack_sequences(_docs(s, d), budget=256, n_shards=4),
+        "sample_corpus_shuffle": lambda s, d: SP.corpus_shuffle(_docs(s, d), n_buckets=8),
+        "sample_epoch_upsample": lambda s, d: SP.epoch_upsample(_docs(s, d), _EPOCHS),
         "curate_pipeline": _curate_pipeline,
         # --- engine-native (float32 kernels; DuckDB float32-emulating oracles)
         "engine_bm25_top10": _engine_bm25_top10,
@@ -2216,6 +2253,8 @@ FROM b""",
         "sample_hash_split": _sql_hash_split(),
         "sample_mixture": _sql_mixture_sample(),
         "pack_sequences": _sql_pack_sequences(256, 4),
+        "sample_corpus_shuffle": _sql_corpus_shuffle(8),
+        "sample_epoch_upsample": _sql_epoch_upsample(),
         "curate_pipeline": _sql_curate_pipeline(),
         "dedup_substring_spans": _sql_substring_spans(5, 2),
         "dedup_substring_strip": _sql_substring_strip(5, 2),

@@ -134,6 +134,105 @@ def mixture_rates(
     }
 
 
+def corpus_shuffle(
+    docs: DataFrame,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global shuffle order for corpus assembly: returns
+    (id, bucket, pos) where `pos` is the row's 0-based position in the
+    order (md5-hash(salt:id), id) — i.e. a reproducible random permutation
+    of the corpus that is identical across partition counts, reruns, and
+    engines. Training pipelines need this instead of `orderBy(rand())`
+    (non-deterministic) or RDD zipWithIndex (partition-order-dependent).
+
+    Scale shape: the standard two-phase global-rank pattern. `bucket` is
+    the top log2(n_buckets) bits of the 60-bit hash, so buckets are
+    contiguous hash ranges and concatenating them in bucket order IS the
+    global order. Phase 1 aggregates per-bucket counts (collects
+    n_buckets rows — bounded by the parameter, not the data) into
+    exclusive prefix offsets; phase 2 ranks within each bucket with one
+    window sort. No single-partition total sort: per-task sort size is
+    corpus/n_buckets, so at 100 TB you raise n_buckets, not executor
+    memory. Hash ties across distinct ids are broken by id on both
+    engines.
+    """
+    bits = n_buckets.bit_length() - 1
+    if 1 << bits != n_buckets:
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+    key = _h60(salt, F.col(id_col))
+    base = docs.select(
+        F.col(id_col),
+        key.alias("_skey"),
+        F.shiftright(key, 60 - bits).cast("int").alias("bucket"),
+    )
+    counts = dict(
+        (r["bucket"], r["n"])
+        for r in base.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for b in range(n_buckets):
+        offsets.append(acc)
+        acc += counts.get(b, 0)
+    # element_at over a literal array: O(1) lookup, keeps the plan a pure
+    # projection (no second join for the offsets).
+    off = F.element_at(
+        F.array(*[F.lit(o).cast("long") for o in offsets]), F.col("bucket") + 1
+    )
+    w = Window.partitionBy("bucket").orderBy("_skey", id_col)
+    pos = (off + F.row_number().over(w) - 1).cast("long").alias("pos")
+    return base.select(id_col, "bucket", pos)
+
+
+def epoch_upsample(
+    docs: DataFrame,
+    epochs: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "epoch",
+) -> DataFrame:
+    """Repeat each document `epochs[source]` times (fractional): a doc
+    whose source has e = 2.3 epochs appears floor(e) = 2 times always,
+    plus a 3rd time iff u(md5(salt:id)) < 0.3 — so the expected copy
+    count is exactly e and the choice of WHICH docs get the extra pass
+    is deterministic and engine-portable (cf. The Pile §1 / LLaMA tables:
+    per-source epoch counts like Wikipedia 2.45, Books 1.5). Sources
+    missing from `epochs` default to 0 (dropped). Returns one row per
+    copy: (id, source, epoch) with epoch in [0, n_copies).
+
+    Scale shape: pure projection + explode — zero shuffle, no Python;
+    output size is sum(n_copies). The epoch table compiles to a CASE
+    over source literals (mixtures have dozens of sources).
+    """
+    u = _u(salt, F.col(id_col))
+    whole, frac = None, None
+    for name, e in epochs.items():
+        e = float(e)
+        w_i, f_i = int(e), e - int(e)
+        cond = F.col(source_col) == F.lit(name)
+        if whole is None:
+            whole = F.when(cond, F.lit(w_i))
+            frac = F.when(cond, F.lit(f_i))
+        else:
+            whole = whole.when(cond, F.lit(w_i))
+            frac = frac.when(cond, F.lit(f_i))
+    if whole is None:
+        whole, frac = F.lit(0), F.lit(0.0)
+    else:
+        whole, frac = whole.otherwise(F.lit(0)), frac.otherwise(F.lit(0.0))
+    n = (whole + (u < frac).cast("int")).alias("_n")
+    return (
+        docs.select(F.col(id_col), F.col(source_col), n)
+        .filter(F.col("_n") >= 1)
+        .select(
+            id_col,
+            source_col,
+            F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("epoch"),
+        )
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int,

@@ -174,3 +174,53 @@ def test_pack_sequences_no_cross_shard_overlap(spark):
     assert len(agg) == 4
     for r in agg:
         assert r["total"] == r["end"]
+
+
+def test_corpus_shuffle_matches_global_sort_twin(spark):
+    docs = spark.range(0, 300).select(F.col("id").alias("doc_id"))
+    out = {r["doc_id"]: r.asDict() for r in S.corpus_shuffle(docs, n_buckets=8).collect()}
+    # python twin: global sort by (60-bit hash, id)
+    order = sorted(range(300), key=lambda i: (_py_h60("shuffle", i), i))
+    for pos, i in enumerate(order):
+        assert out[i]["pos"] == pos
+        assert out[i]["bucket"] == _py_h60("shuffle", i) >> 57
+    # pos is a permutation of 0..n-1
+    assert sorted(r["pos"] for r in out.values()) == list(range(300))
+    # invariant across partition counts AND bucket counts
+    again = {
+        r["doc_id"]: r["pos"]
+        for r in S.corpus_shuffle(docs.repartition(7), n_buckets=32).collect()
+    }
+    assert again == {i: d["pos"] for i, d in out.items()}
+
+
+def test_corpus_shuffle_rejects_non_power_of_two(spark):
+    docs = spark.range(0, 4).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError):
+        S.corpus_shuffle(docs, n_buckets=6)
+
+
+def test_epoch_upsample_matches_python_twin(spark):
+    docs = spark.createDataFrame(
+        [(i, ["srcA", "srcB", "srcC"][i % 3]) for i in range(240)],
+        ["doc_id", "source"],
+    )
+    epochs = {"srcA": 2.5, "srcB": 0.75, "srcC": 1.0}
+    rows = S.epoch_upsample(docs, epochs).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append(r["epoch"])
+    for i in range(240):
+        src = ["srcA", "srcB", "srcC"][i % 3]
+        e = epochs[src]
+        n = int(e) + (1 if _py_u("epoch", i) < e - int(e) else 0)
+        eps = sorted(got.get(i, []))
+        assert eps == list(range(n)), (i, src, n, eps)
+    # srcC (integer epochs) appears exactly once per doc, no frac branch
+    assert all(got[i] == [0] for i in range(2, 240, 3))
+    # unknown sources are dropped
+    extra = spark.createDataFrame([(999, "srcZ")], ["doc_id", "source"])
+    assert S.epoch_upsample(extra, epochs).count() == 0
+    # determinism across partitioning
+    again = S.epoch_upsample(docs.repartition(9), epochs).collect()
+    assert sorted(map(str, again)) == sorted(map(str, rows))
