@@ -1744,6 +1744,34 @@ SELECT doc_id, shard, n_tokens, tok_start,
 FROM p"""
 
 
+def _sql_materialize_sequences(budget: int = 64, n_shards: int = 4) -> str:
+    """DuckDB twin of ops/sampling.materialize_sequences: same layout
+    CTEs as _sql_pack_sequences, then LATERAL generate_series over the
+    touched sequences, 1-based inclusive list slices, and an ordered
+    string_agg per (shard, seq)."""
+    b = budget
+    return f"""
+WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents),
+base AS (SELECT doc_id,
+    (('0x' || substr(md5('shard:' || doc_id::VARCHAR), 1, 15))::BIGINT % {n_shards})::INT AS shard,
+    len(toks)::BIGINT AS n_tokens, toks FROM t),
+p AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_start
+  FROM base),
+x AS (SELECT shard, tok_start, n_tokens, toks, gs AS seq
+  FROM p, LATERAL (SELECT unnest(generate_series(tok_start // {b},
+       (tok_start + n_tokens - 1) // {b})) AS gs) l
+  WHERE n_tokens > 0),
+pieces AS (SELECT shard, seq, tok_start,
+    toks[(greatest(0, seq * {b} - tok_start) + 1):least(n_tokens, (seq + 1) * {b} - tok_start)] AS piece
+  FROM x),
+s AS (SELECT shard, seq, string_agg(array_to_string(piece, ' '), ' ' ORDER BY tok_start) AS text,
+    sum(len(piece)) AS n_tokens FROM pieces GROUP BY shard, seq)
+SELECT shard, seq::BIGINT AS seq, n_tokens::INT AS n_tokens,
+       substr(md5(text), 1, 16) AS fp16 FROM s"""
+
+
 def _sql_corpus_shuffle(n_buckets: int = 8) -> str:
     """DuckDB twin of ops/sampling.corpus_shuffle: a plain global
     row_number over (key, doc_id) — equal to Spark's bucketed
@@ -2085,6 +2113,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "source"
         ),
         "pack_sequences": lambda s, d: SP.pack_sequences(_docs(s, d), budget=256, n_shards=4),
+        "pack_materialize": lambda s, d: SP.materialize_sequences(
+            _docs(s, d), budget=64, n_shards=4
+        ).select(
+            "shard", "seq", "n_tokens", F.substring(F.md5("text"), 1, 16).alias("fp16")
+        ),
         "sample_corpus_shuffle": lambda s, d: SP.corpus_shuffle(_docs(s, d), n_buckets=8),
         "sample_epoch_upsample": lambda s, d: SP.epoch_upsample(_docs(s, d), _EPOCHS),
         "curate_pipeline": _curate_pipeline,
@@ -2253,6 +2286,7 @@ FROM b""",
         "sample_hash_split": _sql_hash_split(),
         "sample_mixture": _sql_mixture_sample(),
         "pack_sequences": _sql_pack_sequences(256, 4),
+        "pack_materialize": _sql_materialize_sequences(64, 4),
         "sample_corpus_shuffle": _sql_corpus_shuffle(8),
         "sample_epoch_upsample": _sql_epoch_upsample(),
         "curate_pipeline": _sql_curate_pipeline(),

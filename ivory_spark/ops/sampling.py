@@ -233,6 +233,37 @@ def epoch_upsample(
     )
 
 
+def _layout(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str,
+    text_col: str,
+    keep_tokens: bool = False,
+) -> DataFrame:
+    """Shared packing layout: (id, shard, n_tokens, tok_start[, toks])
+    where shard = md5-hash(id) mod n_shards and tok_start is the running
+    token offset within the shard's (id ascending) stream. One shuffle —
+    the per-shard running-sum window."""
+    toks = _tokens(F.col(text_col))
+    shard = (_h60("shard", F.col(id_col)) % n_shards).cast("int")
+    cols = [
+        F.col(id_col),
+        shard.alias("shard"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    ]
+    if keep_tokens:
+        cols.append(toks.alias("toks"))
+    base = docs.select(*cols)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tok_start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("tok_start")
+    keep = [id_col, "shard", "n_tokens", tok_start]
+    return base.select(*(keep + (["toks"] if keep_tokens else [])))
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int,
@@ -257,20 +288,7 @@ def pack_sequences(
     per-task sort, and sequences never cross shards so downstream chunk
     materialization is embarrassingly parallel.
     """
-    ntok = F.size(_tokens(F.col(text_col)))
-    shard = (_h60("shard", F.col(id_col)) % n_shards).cast("int")
-    base = docs.select(
-        F.col(id_col),
-        shard.alias("shard"),
-        ntok.cast("long").alias("n_tokens"),
-    )
-    w = (
-        Window.partitionBy("shard")
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    tok_start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("tok_start")
-    placed = base.select(id_col, "shard", "n_tokens", tok_start)
+    placed = _layout(docs, n_shards, id_col, text_col)
     # integer `div`, not `/`: Spark's `/` is double division, which stops
     # being exact past 2^53 tokens — a real corpus size, not a corner.
     b = int(budget)
@@ -286,4 +304,61 @@ def pack_sequences(
         seq_first.cast("long").alias("seq_first"),
         seq_last.cast("long").alias("seq_last"),
         (F.col("tok_start") % F.lit(b)).cast("long").alias("offset_in_seq"),
+    )
+
+
+def materialize_sequences(
+    docs: DataFrame,
+    budget: int,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The training sequences pack_sequences places: one row per
+    (shard, seq) with the space-joined `budget`-token slice of the
+    shard's concatenated token stream (the last sequence of each shard
+    is the shorter tail). A document straddling a boundary contributes
+    its prefix to one sequence and the remainder to the next, exactly
+    like GPT-style concatenation packing.
+
+    Returns (shard, seq, n_tokens, text). All JVM expressions: each doc
+    explodes into the sequences it touches (size/budget + 1 rows, not
+    per-token), pieces are array slices, and the per-sequence assembly
+    is an array_sort(collect_list(struct(tok_start, piece))) — no Python,
+    no per-token rows. Two shuffles total: the layout window (shared
+    with pack_sequences) and the (shard, seq) grouping, whose groups are
+    budget-bounded, so group size is a parameter — not a skew risk — at
+    any corpus size.
+    """
+    b = int(budget)
+    placed = _layout(docs, n_shards, id_col, text_col, keep_tokens=True).filter(
+        F.col("n_tokens") > 0
+    )
+    seq_first = F.expr(f"tok_start div {b}")
+    seq_last = F.expr(f"(tok_start + n_tokens - 1) div {b}")
+    x = placed.select(
+        "shard",
+        "tok_start",
+        "n_tokens",
+        "toks",
+        F.explode(F.sequence(seq_first, seq_last)).alias("seq"),
+    )
+    # 0-based [start, end) of this doc's tokens that land in sequence `seq`
+    start0 = F.greatest(F.lit(0).cast("long"), F.col("seq") * b - F.col("tok_start"))
+    end0 = F.least(F.col("n_tokens"), (F.col("seq") + 1) * b - F.col("tok_start"))
+    piece = F.slice(F.col("toks"), (start0 + 1).cast("int"), (end0 - start0).cast("int"))
+    parts = x.select(
+        "shard", "seq", F.struct(F.col("tok_start"), piece.alias("piece")).alias("p")
+    )
+    ps = F.array_sort(F.collect_list("p"))
+    toks = F.flatten(F.transform(ps, lambda s: s["piece"]))
+    return (
+        parts.groupBy("shard", "seq")
+        .agg(toks.alias("toks"))
+        .select(
+            "shard",
+            F.col("seq").cast("long").alias("seq"),
+            F.size("toks").cast("int").alias("n_tokens"),
+            F.array_join("toks", " ").alias("text"),
+        )
     )

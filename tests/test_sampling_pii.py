@@ -224,3 +224,59 @@ def test_epoch_upsample_matches_python_twin(spark):
     # determinism across partitioning
     again = S.epoch_upsample(docs.repartition(9), epochs).collect()
     assert sorted(map(str, again)) == sorted(map(str, rows))
+
+
+def test_materialize_sequences_golden_and_invariants(spark):
+    docs = [
+        (i, " ".join(f"w{i}_{j}" for j in range(n)))
+        for i, n in enumerate([5, 0, 7, 3, 10, 4, 6, 2])
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = S.materialize_sequences(df, budget=8, n_shards=2).collect()
+    # python twin: per-shard concatenated token stream chunked by 8
+    shards = {}
+    for i, t in docs:
+        toks = [x for x in t.lower().split(" ") if x]
+        if toks:
+            shards.setdefault(_py_h60("shard", i) % 2, []).append((i, toks))
+    want = {}
+    for sh, ds in shards.items():
+        stream = [tok for _, toks in sorted(ds) for tok in toks]
+        for s in range((len(stream) + 7) // 8):
+            chunk = stream[s * 8 : (s + 1) * 8]
+            want[(sh, s)] = (" ".join(chunk), len(chunk))
+    got = {(r["shard"], r["seq"]): (r["text"], r["n_tokens"]) for r in out}
+    assert got == want
+    # every sequence but each shard's last is exactly `budget` tokens
+    last = {sh: max(s for s2, s in [(k[0], k[1]) for k in got if k[0] == sh]) for sh in {k[0] for k in got}}
+    for (sh, s), (_, n) in got.items():
+        assert n == 8 or s == last[sh]
+    # token conservation: total tokens in == total tokens out
+    assert sum(n for _, n in got.values()) == sum(
+        len([x for x in t.split(" ") if x]) for _, t in docs
+    )
+    # determinism across partitioning
+    again = {
+        (r["shard"], r["seq"]): (r["text"], r["n_tokens"])
+        for r in S.materialize_sequences(df.repartition(5), budget=8, n_shards=2).collect()
+    }
+    assert again == got
+
+
+def test_materialize_consistent_with_pack_placement(spark):
+    docs = spark.range(0, 60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok "), F.repeat(F.lit("x "), (F.col("id") % 7).cast("int"))).alias("text"),
+    )
+    placed = {r["doc_id"]: r.asDict() for r in S.pack_sequences(docs, budget=16, n_shards=2).collect()}
+    seqs = {(r["shard"], r["seq"]): r["n_tokens"] for r in S.materialize_sequences(docs, budget=16, n_shards=2).collect()}
+    # every placement's seq_first..seq_last exists in the materialized set
+    for r in placed.values():
+        if r["n_tokens"] == 0:
+            continue
+        for s in range(r["seq_first"], r["seq_last"] + 1):
+            assert (r["shard"], s) in seqs
+    # per-shard totals agree
+    for sh in {r["shard"] for r in placed.values()}:
+        want = sum(r["n_tokens"] for r in placed.values() if r["shard"] == sh)
+        assert sum(n for (s, _), n in seqs.items() if s == sh) == want
