@@ -1772,6 +1772,26 @@ SELECT shard, seq::BIGINT AS seq, n_tokens::INT AS n_tokens,
        substr(md5(text), 1, 16) AS fp16 FROM s"""
 
 
+def _sql_weighted_sample() -> str:
+    """DuckDB twin of ops/sampling.weighted_sample over quality_score:
+    same 6-dp quality formula as the text_quality oracle, then the
+    survive-iff-u<p filter (quality is already in [0,1]; the clamp is a
+    no-op both sides)."""
+    stop_list = ", ".join(f"'{s}'" for s in TS.STOPWORDS_EN)
+    return f"""
+WITH {TOKS},
+agg AS (SELECT doc_id, count(*) AS n,
+               sum(CASE WHEN term IN ({stop_list}) THEN 1 ELSE 0 END) AS ns,
+               count(DISTINCT term) AS nd
+        FROM toks GROUP BY doc_id),
+q AS (SELECT doc_id,
+        round(((CASE WHEN n >= 10 AND n <= 100000 THEN 1.0 ELSE 0.0 END)
+               + least(ns / greatest(n, 1) * 5.0, 1.0)
+               + nd / greatest(n, 1)) / 3.0, 6) AS quality
+      FROM agg)
+SELECT doc_id, quality FROM q WHERE {_sql_u60('wsample')} < quality"""
+
+
 def _sql_corpus_shuffle(n_buckets: int = 8) -> str:
     """DuckDB twin of ops/sampling.corpus_shuffle: a plain global
     row_number over (key, doc_id) — equal to Spark's bucketed
@@ -2120,6 +2140,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "sample_corpus_shuffle": lambda s, d: SP.corpus_shuffle(_docs(s, d), n_buckets=8),
         "sample_epoch_upsample": lambda s, d: SP.epoch_upsample(_docs(s, d), _EPOCHS),
+        "sample_weighted": lambda s, d: SP.weighted_sample(
+            TS.quality_score(_docs(s, d)).select("doc_id", "quality"), "quality"
+        ),
         "curate_pipeline": _curate_pipeline,
         # --- engine-native (float32 kernels; DuckDB float32-emulating oracles)
         "engine_bm25_top10": _engine_bm25_top10,
@@ -2289,6 +2312,7 @@ FROM b""",
         "pack_materialize": _sql_materialize_sequences(64, 4),
         "sample_corpus_shuffle": _sql_corpus_shuffle(8),
         "sample_epoch_upsample": _sql_epoch_upsample(),
+        "sample_weighted": _sql_weighted_sample(),
         "curate_pipeline": _sql_curate_pipeline(),
         "dedup_substring_spans": _sql_substring_spans(5, 2),
         "dedup_substring_strip": _sql_substring_strip(5, 2),

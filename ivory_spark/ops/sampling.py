@@ -110,6 +110,24 @@ def mixture_sample(
     return docs.filter(u < rate)
 
 
+def weighted_sample(
+    docs: DataFrame,
+    prob_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Keep each row with the per-row probability in `prob_col` (clamped
+    to [0, 1]), deterministically: the row survives iff u(md5(salt:id))
+    < p. The soft-filter generalization of mixture_sample — FineWeb-style
+    quality weighting, where a 0.9-quality doc is 3x likelier to survive
+    than a 0.3 one, instead of a hard threshold. Pure filter — zero
+    shuffle, no Python; identical across partitioning/reruns/engines.
+    """
+    u = _u(salt, F.col(id_col))
+    p = F.least(F.greatest(F.col(prob_col).cast("double"), F.lit(0.0)), F.lit(1.0))
+    return docs.filter(u < p)
+
+
 def mixture_rates(
     docs: DataFrame,
     weights: dict[str, float],

@@ -280,3 +280,22 @@ def test_materialize_consistent_with_pack_placement(spark):
     for sh in {r["shard"] for r in placed.values()}:
         want = sum(r["n_tokens"] for r in placed.values() if r["shard"] == sh)
         assert sum(n for (s, _), n in seqs.items() if s == sh) == want
+
+
+def test_weighted_sample_matches_python_twin(spark):
+    docs = spark.createDataFrame(
+        [(i, (i % 11) / 10.0) for i in range(300)], ["doc_id", "p"]
+    )
+    kept = {r["doc_id"] for r in S.weighted_sample(docs, "p").collect()}
+    for i in range(300):
+        assert (i in kept) == (_py_u("wsample", i) < (i % 11) / 10.0)
+    # p=0 never survives, p=1.0 always does (u in [0,1))
+    assert not any(i in kept for i in range(0, 300, 11))
+    assert all(i in kept for i in range(10, 300, 11))
+    # out-of-range probabilities clamp instead of misbehaving
+    odd = spark.createDataFrame([(1, -0.5), (2, 7.0)], ["doc_id", "p"])
+    got = {r["doc_id"] for r in S.weighted_sample(odd, "p").collect()}
+    assert got == {2}
+    # determinism across partitioning
+    again = {r["doc_id"] for r in S.weighted_sample(docs.repartition(9), "p").collect()}
+    assert again == kept
