@@ -182,6 +182,43 @@ def main() -> None:
          f"pack_sequences = one shard Exchange + Window: {ok_pack}\n")
     )
 
+    # corpus shuffle / epoch upsampling / sequence materialization:
+    # epoch_upsample must stay a zero-Exchange projection+explode;
+    # corpus_shuffle must rank inside hash-range buckets (one bucket
+    # Exchange + Window, never a SinglePartition total sort);
+    # materialize_sequences = layout window + budget-bounded (shard, seq)
+    # agg — exactly two Exchanges, no per-token explosion to check here
+    # (each doc explodes into size/budget+1 rows by construction)
+    epoch_plan = captured_explain(SP.epoch_upsample(docs.withColumn(
+        "source", F.lit("src0")), {"src0": 2.5}))
+    shuffle_plan = captured_explain(SP.corpus_shuffle(docs, n_buckets=8))
+    mat_plan = captured_explain(
+        SP.materialize_sequences(docs, budget=256, n_shards=4)
+    )
+    ok_epoch = "Exchange" not in epoch_plan
+    ok_shuffle = (
+        len(re.findall(r"\(\d+\) Exchange", shuffle_plan)) == 1
+        and "hashpartitioning(bucket" in shuffle_plan
+        and "Window" in shuffle_plan
+        and "SinglePartition" not in shuffle_plan
+    )
+    # materialize_sequences: the (shard, seq) aggregation must REUSE the
+    # layout window's hashpartitioning(shard) exchange (same-shard rows
+    # are already co-located, so Catalyst satisfies the grouping
+    # distribution without a second shuffle) — exactly one Exchange total
+    ok_mat = (
+        len(re.findall(r"\(\d+\) Exchange", mat_plan)) == 1
+        and "hashpartitioning(shard" in mat_plan
+        and "SinglePartition" not in mat_plan
+        and "CartesianProduct" not in mat_plan
+    )
+    sections.append(
+        ("corpus-assembly checks (shuffle / epochs / materialize)",
+         f"epoch_upsample zero-Exchange projection+explode: {ok_epoch}\n"
+         f"corpus_shuffle = one bucket Exchange + Window, no total sort: {ok_shuffle}\n"
+         f"materialize_sequences = ONE shard Exchange shared by window+agg: {ok_mat}\n")
+    )
+
     # substring dedup: the window-hash rollup must be partial-aggregated
     # (map-side combine before the shuffle — the reason a hot boilerplate
     # window cannot skew the reduce side) and the first-occurrence pick
@@ -237,6 +274,9 @@ def main() -> None:
     print("ROWOPS_NO_EXCHANGE_OK" if ok_rowops else "ROWOPS_EXCHANGE_PRESENT")
     print("PACK_ONE_EXCHANGE_OK" if ok_pack else "PACK_PLAN_UNEXPECTED")
     print("SUBSTR_PLAN_OK" if ok_substr else "SUBSTR_PLAN_UNEXPECTED")
+    print("EPOCH_NO_EXCHANGE_OK" if ok_epoch else "EPOCH_EXCHANGE_PRESENT")
+    print("SHUFFLE_BUCKETED_OK" if ok_shuffle else "SHUFFLE_PLAN_UNEXPECTED")
+    print("MATERIALIZE_PLAN_OK" if ok_mat else "MATERIALIZE_PLAN_UNEXPECTED")
     if ok_casc is not None:
         print("CASCADE_UNION_OK" if ok_casc else "CASCADE_UNION_MISSING")
 
