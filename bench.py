@@ -204,6 +204,27 @@ def big_block(spark, n_docs: int, cpus: int, sf_dir: str,
     curate_sec = time.monotonic() - t0
     out["curate_sec"] = round(curate_sec, 3)
     out["curate_docs_per_sec"] = round(n_docs / curate_sec, 1)
+
+    # corpus assembly over the same 500k docs: sequence packing
+    # throughput (tokens/s is the number a pretraining pipeline budgets
+    # by) and the deterministic global shuffle (bucketed rank — the
+    # two-phase pattern's cost is one window + an n_buckets-row collect)
+    from ivory_spark.ops.sampling import corpus_shuffle, materialize_sequences
+
+    t0 = time.monotonic()
+    agg = (
+        materialize_sequences(cdocs, budget=1024, n_shards=cpus * 4)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("toks"))
+        .collect()[0]
+    )
+    pack_sec = time.monotonic() - t0
+    out["pack_seqs"] = agg["n"]
+    out["pack_tokens"] = int(agg["toks"])
+    out["pack_sec"] = round(pack_sec, 3)
+    out["pack_tokens_per_sec"] = round(agg["toks"] / pack_sec, 1)
+    t0 = time.monotonic()
+    out["shuffle_rows"] = corpus_shuffle(cdocs, n_buckets=256).count()
+    out["shuffle_sec"] = round(time.monotonic() - t0, 3)
     return out
 
 
