@@ -1744,12 +1744,29 @@ SELECT doc_id, shard, n_tokens, tok_start,
 FROM p"""
 
 
-def _sql_materialize_sequences(budget: int = 64, n_shards: int = 4) -> str:
+def _sql_materialize_sequences(
+    budget: int = 64, n_shards: int = 4, bounds: bool = False
+) -> str:
     """DuckDB twin of ops/sampling.materialize_sequences: same layout
     CTEs as _sql_pack_sequences, then LATERAL generate_series over the
     touched sequences, 1-based inclusive list slices, and an ordered
-    string_agg per (shard, seq)."""
+    string_agg per (shard, seq). bounds=True swaps the projection for
+    the comma-joined document-boundary offsets (empty string for a
+    wholly mid-document sequence, matching Spark's array_join)."""
     b = budget
+    proj = (
+        """coalesce(string_agg(boundary::VARCHAR, ',' ORDER BY tok_start)
+        FILTER (WHERE boundary IS NOT NULL), '') AS bounds"""
+        if bounds
+        else """string_agg(array_to_string(piece, ' '), ' ' ORDER BY tok_start) AS text,
+    sum(len(piece)) AS n_tokens"""
+    )
+    final = (
+        "SELECT shard, seq::BIGINT AS seq, bounds FROM s"
+        if bounds
+        else "SELECT shard, seq::BIGINT AS seq, n_tokens::INT AS n_tokens,\n"
+        "       substr(md5(text), 1, 16) AS fp16 FROM s"
+    )
     return f"""
 WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
   FROM documents),
@@ -1764,12 +1781,11 @@ x AS (SELECT shard, tok_start, n_tokens, toks, gs AS seq
        (tok_start + n_tokens - 1) // {b})) AS gs) l
   WHERE n_tokens > 0),
 pieces AS (SELECT shard, seq, tok_start,
-    toks[(greatest(0, seq * {b} - tok_start) + 1):least(n_tokens, (seq + 1) * {b} - tok_start)] AS piece
+    toks[(greatest(0, seq * {b} - tok_start) + 1):least(n_tokens, (seq + 1) * {b} - tok_start)] AS piece,
+    CASE WHEN tok_start >= seq * {b} THEN (tok_start - seq * {b})::INT END AS boundary
   FROM x),
-s AS (SELECT shard, seq, string_agg(array_to_string(piece, ' '), ' ' ORDER BY tok_start) AS text,
-    sum(len(piece)) AS n_tokens FROM pieces GROUP BY shard, seq)
-SELECT shard, seq::BIGINT AS seq, n_tokens::INT AS n_tokens,
-       substr(md5(text), 1, 16) AS fp16 FROM s"""
+s AS (SELECT shard, seq, {proj} FROM pieces GROUP BY shard, seq)
+{final}"""
 
 
 def _sql_weighted_sample() -> str:
@@ -2138,6 +2154,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select(
             "shard", "seq", "n_tokens", F.substring(F.md5("text"), 1, 16).alias("fp16")
         ),
+        "pack_materialize_bounds": lambda s, d: SP.materialize_sequences(
+            _docs(s, d), budget=64, n_shards=4
+        ).select(
+            "shard",
+            "seq",
+            F.array_join(
+                F.transform("boundaries", lambda o: o.cast("string")), ","
+            ).alias("bounds"),
+        ),
         "sample_corpus_shuffle": lambda s, d: SP.corpus_shuffle(_docs(s, d), n_buckets=8),
         "sample_epoch_upsample": lambda s, d: SP.epoch_upsample(_docs(s, d), _EPOCHS),
         "sample_weighted": lambda s, d: SP.weighted_sample(
@@ -2310,6 +2335,7 @@ FROM b""",
         "sample_mixture": _sql_mixture_sample(),
         "pack_sequences": _sql_pack_sequences(256, 4),
         "pack_materialize": _sql_materialize_sequences(64, 4),
+        "pack_materialize_bounds": _sql_materialize_sequences(64, 4, bounds=True),
         "sample_corpus_shuffle": _sql_corpus_shuffle(8),
         "sample_epoch_upsample": _sql_epoch_upsample(),
         "sample_weighted": _sql_weighted_sample(),

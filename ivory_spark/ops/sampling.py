@@ -339,12 +339,18 @@ def materialize_sequences(
     its prefix to one sequence and the remainder to the next, exactly
     like GPT-style concatenation packing.
 
-    Returns (shard, seq, n_tokens, text). All JVM expressions: each doc
-    explodes into the sequences it touches (size/budget + 1 rows, not
-    per-token), pieces are array slices, and the per-sequence assembly
-    is an array_sort(collect_list(struct(tok_start, piece))) — no Python,
-    no per-token rows. Two shuffles total: the layout window (shared
-    with pack_sequences) and the (shard, seq) grouping, whose groups are
+    Returns (shard, seq, n_tokens, boundaries, text) where `boundaries`
+    is the sorted list of 0-based offsets inside the sequence where a
+    NEW document starts — what a trainer needs to reset attention across
+    document boundaries (block-diagonal masks / EOS insertion). A
+    sequence wholly inside one long document has an empty list. All JVM
+    expressions: each doc explodes into the sequences it touches
+    (size/budget + 1 rows, not per-token), pieces are array slices, and
+    the per-sequence assembly is an
+    array_sort(collect_list(struct(tok_start, piece, boundary))) — no
+    Python, no per-token rows. One shuffle total: the layout window's
+    hashpartitioning(shard) is reused by the (shard, seq) grouping
+    (same-shard rows are already co-located), and groups are
     budget-bounded, so group size is a parameter — not a skew risk — at
     any corpus size.
     """
@@ -365,18 +371,32 @@ def materialize_sequences(
     start0 = F.greatest(F.lit(0).cast("long"), F.col("seq") * b - F.col("tok_start"))
     end0 = F.least(F.col("n_tokens"), (F.col("seq") + 1) * b - F.col("tok_start"))
     piece = F.slice(F.col("toks"), (start0 + 1).cast("int"), (end0 - start0).cast("int"))
+    # the piece opens a document iff it begins at the doc's first token;
+    # its in-sequence offset is then tok_start - seq*budget
+    boundary = (
+        F.when(start0 == 0, (F.col("tok_start") - F.col("seq") * b).cast("int"))
+        .otherwise(F.lit(None).cast("int"))
+    )
     parts = x.select(
-        "shard", "seq", F.struct(F.col("tok_start"), piece.alias("piece")).alias("p")
+        "shard",
+        "seq",
+        F.struct(
+            F.col("tok_start"), piece.alias("piece"), boundary.alias("boundary")
+        ).alias("p"),
     )
     ps = F.array_sort(F.collect_list("p"))
     toks = F.flatten(F.transform(ps, lambda s: s["piece"]))
+    bounds = F.filter(
+        F.transform(ps, lambda s: s["boundary"]), lambda o: o.isNotNull()
+    )
     return (
         parts.groupBy("shard", "seq")
-        .agg(toks.alias("toks"))
+        .agg(toks.alias("toks"), bounds.alias("boundaries"))
         .select(
             "shard",
             F.col("seq").cast("long").alias("seq"),
             F.size("toks").cast("int").alias("n_tokens"),
+            "boundaries",
             F.array_join("toks", " ").alias("text"),
         )
     )

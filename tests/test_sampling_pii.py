@@ -227,13 +227,16 @@ def test_epoch_upsample_matches_python_twin(spark):
 
 
 def test_materialize_sequences_golden_and_invariants(spark):
+    # doc 4 is 25 tokens long: it spans 4 sequences, so some sequences
+    # are wholly mid-document and must carry EMPTY boundary lists
     docs = [
         (i, " ".join(f"w{i}_{j}" for j in range(n)))
-        for i, n in enumerate([5, 0, 7, 3, 10, 4, 6, 2])
+        for i, n in enumerate([5, 0, 7, 3, 25, 4, 6, 2])
     ]
     df = spark.createDataFrame(docs, ["doc_id", "text"])
     out = S.materialize_sequences(df, budget=8, n_shards=2).collect()
-    # python twin: per-shard concatenated token stream chunked by 8
+    # python twin: per-shard concatenated token stream chunked by 8,
+    # with doc-start offsets tracked per chunk
     shards = {}
     for i, t in docs:
         toks = [x for x in t.lower().split(" ") if x]
@@ -241,23 +244,32 @@ def test_materialize_sequences_golden_and_invariants(spark):
             shards.setdefault(_py_h60("shard", i) % 2, []).append((i, toks))
     want = {}
     for sh, ds in shards.items():
-        stream = [tok for _, toks in sorted(ds) for tok in toks]
+        stream, marks = [], []
+        for _, toks in sorted(ds):
+            marks.append(len(stream))
+            stream += toks
         for s in range((len(stream) + 7) // 8):
             chunk = stream[s * 8 : (s + 1) * 8]
-            want[(sh, s)] = (" ".join(chunk), len(chunk))
-    got = {(r["shard"], r["seq"]): (r["text"], r["n_tokens"]) for r in out}
+            bs = sorted(m - s * 8 for m in marks if s * 8 <= m < (s + 1) * 8)
+            want[(sh, s)] = (" ".join(chunk), len(chunk), bs)
+    got = {
+        (r["shard"], r["seq"]): (r["text"], r["n_tokens"], list(r["boundaries"]))
+        for r in out
+    }
     assert got == want
+    # the 25-token doc produces at least one boundary-free sequence
+    assert any(b == [] for _, _, b in got.values())
     # every sequence but each shard's last is exactly `budget` tokens
     last = {sh: max(s for s2, s in [(k[0], k[1]) for k in got if k[0] == sh]) for sh in {k[0] for k in got}}
-    for (sh, s), (_, n) in got.items():
+    for (sh, s), (_, n, _b) in got.items():
         assert n == 8 or s == last[sh]
     # token conservation: total tokens in == total tokens out
-    assert sum(n for _, n in got.values()) == sum(
+    assert sum(n for _, n, _b in got.values()) == sum(
         len([x for x in t.split(" ") if x]) for _, t in docs
     )
     # determinism across partitioning
     again = {
-        (r["shard"], r["seq"]): (r["text"], r["n_tokens"])
+        (r["shard"], r["seq"]): (r["text"], r["n_tokens"], list(r["boundaries"]))
         for r in S.materialize_sequences(df.repartition(5), budget=8, n_shards=2).collect()
     }
     assert again == got
