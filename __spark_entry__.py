@@ -1745,7 +1745,11 @@ FROM p"""
 
 
 def _sql_materialize_sequences(
-    budget: int = 64, n_shards: int = 4, bounds: bool = False
+    budget: int = 64,
+    n_shards: int = 4,
+    bounds: bool = False,
+    prelude: str = "",
+    src: str = "documents",
 ) -> str:
     """DuckDB twin of ops/sampling.materialize_sequences: same layout
     CTEs as _sql_pack_sequences, then LATERAL generate_series over the
@@ -1768,8 +1772,8 @@ def _sql_materialize_sequences(
         "       substr(md5(text), 1, 16) AS fp16 FROM s"
     )
     return f"""
-WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
-  FROM documents),
+WITH {prelude}t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM {src}),
 base AS (SELECT doc_id,
     (('0x' || substr(md5('shard:' || doc_id::VARCHAR), 1, 15))::BIGINT % {n_shards})::INT AS shard,
     len(toks)::BIGINT AS n_tokens, toks FROM t),
@@ -1806,6 +1810,34 @@ q AS (SELECT doc_id,
                + nd / greatest(n, 1)) / 3.0, 6) AS quality
       FROM agg)
 SELECT doc_id, quality FROM q WHERE {_sql_u60('wsample')} < quality"""
+
+
+def _sql_assemble_pipeline(budget: int = 64, n_shards: int = 4) -> str:
+    """DuckDB twin of ops/sampling.assemble_corpus(_MIX_RATES, _EPOCHS):
+    mixture filter -> epoch copies with derived ids -> the materialize
+    chain over the upsampled CTE."""
+    mix_cases = " ".join(
+        f"WHEN '{s}' THEN {r!r}::DOUBLE" for s, r in _MIX_RATES.items()
+    )
+    whole_cases = " ".join(
+        f"WHEN '{s}' THEN {int(float(e))}" for s, e in _EPOCHS.items()
+    )
+    frac_cases = " ".join(
+        f"WHEN '{s}' THEN {float(e) - int(float(e))!r}::DOUBLE"
+        for s, e in _EPOCHS.items()
+    )
+    k = int(max(float(e) for e in _EPOCHS.values())) + 1
+    prelude = f"""mix AS (SELECT doc_id, source, text FROM documents
+  WHERE {_sql_u60('mix')} < CASE source {mix_cases} ELSE 0.0::DOUBLE END),
+eu AS (SELECT doc_id, text,
+    (CASE source {whole_cases} ELSE 0 END
+     + CASE WHEN {_sql_u60('epoch')} < CASE source {frac_cases} ELSE 0.0::DOUBLE END
+            THEN 1 ELSE 0 END) AS n
+  FROM mix),
+up AS (SELECT doc_id * {k} + (gs - 1) AS doc_id, text
+  FROM eu, LATERAL (SELECT unnest(generate_series(1, n)) AS gs) l),
+"""
+    return _sql_materialize_sequences(budget, n_shards, prelude=prelude, src="up")
 
 
 def _sql_corpus_shuffle(n_buckets: int = 8) -> str:
@@ -2164,11 +2196,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("bounds"),
         ),
         "sample_corpus_shuffle": lambda s, d: SP.corpus_shuffle(_docs(s, d), n_buckets=8),
-        "sample_epoch_upsample": lambda s, d: SP.epoch_upsample(_docs(s, d), _EPOCHS),
+        "sample_epoch_upsample": lambda s, d: SP.epoch_upsample(
+            _docs(s, d), _EPOCHS
+        ).select("doc_id", "source", "epoch"),
         "sample_weighted": lambda s, d: SP.weighted_sample(
             TS.quality_score(_docs(s, d)).select("doc_id", "quality"), "quality"
         ),
         "curate_pipeline": _curate_pipeline,
+        "assemble_pipeline": lambda s, d: SP.assemble_corpus(
+            _docs(s, d), budget=64, rates=_MIX_RATES, epochs=_EPOCHS, n_shards=4
+        ).select(
+            "shard", "seq", "n_tokens", F.substring(F.md5("text"), 1, 16).alias("fp16")
+        ),
         # --- engine-native (float32 kernels; DuckDB float32-emulating oracles)
         "engine_bm25_top10": _engine_bm25_top10,
         "engine_nl_bm25_top10": _engine_nl_bm25_top10,
@@ -2340,6 +2379,7 @@ FROM b""",
         "sample_epoch_upsample": _sql_epoch_upsample(),
         "sample_weighted": _sql_weighted_sample(),
         "curate_pipeline": _sql_curate_pipeline(),
+        "assemble_pipeline": _sql_assemble_pipeline(64, 4),
         "dedup_substring_spans": _sql_substring_spans(5, 2),
         "dedup_substring_strip": _sql_substring_strip(5, 2),
         "dedup_line_strip": _sql_line_strip(2),

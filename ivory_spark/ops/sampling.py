@@ -217,7 +217,7 @@ def epoch_upsample(
     is deterministic and engine-portable (cf. The Pile §1 / LLaMA tables:
     per-source epoch counts like Wikipedia 2.45, Books 1.5). Sources
     missing from `epochs` default to 0 (dropped). Returns one row per
-    copy: (id, source, epoch) with epoch in [0, n_copies).
+    copy: the input columns plus `epoch` in [0, n_copies).
 
     Scale shape: pure projection + explode — zero shuffle, no Python;
     output size is sum(n_copies). The epoch table compiles to a CASE
@@ -241,14 +241,45 @@ def epoch_upsample(
         whole, frac = whole.otherwise(F.lit(0)), frac.otherwise(F.lit(0.0))
     n = (whole + (u < frac).cast("int")).alias("_n")
     return (
-        docs.select(F.col(id_col), F.col(source_col), n)
+        docs.select("*", n)
         .filter(F.col("_n") >= 1)
         .select(
-            id_col,
-            source_col,
+            *docs.columns,
             F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("epoch"),
         )
     )
+
+
+def assemble_corpus(
+    docs: DataFrame,
+    budget: int,
+    rates: dict[str, float] | None = None,
+    epochs: dict[str, float] | None = None,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """One-call corpus assembly — the downstream half of the pipeline
+    (curate_corpus is the upstream half): optional deterministic mixture
+    sampling, optional fractional epoch upsampling (each copy gets the
+    distinct derived id `id * (max_whole_epochs + 1) + epoch`, so packing
+    treats copies as separate documents), then materialization into
+    `budget`-token training sequences with document boundaries. One lazy
+    plan: the sampling stages are zero-shuffle filters/projections that
+    fuse into the scan before the single packing exchange.
+    """
+    out = docs
+    if rates:
+        out = mixture_sample(out, rates, source_col, id_col)
+    if epochs:
+        out = epoch_upsample(out, epochs, source_col, id_col)
+        k = int(max(float(e) for e in epochs.values())) + 1
+        out = out.select(
+            (F.col(id_col) * k + F.col("epoch")).alias(id_col),
+            F.col(text_col),
+        )
+    return materialize_sequences(out, budget, n_shards, id_col, text_col)
 
 
 def _layout(

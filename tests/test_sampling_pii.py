@@ -311,3 +311,43 @@ def test_weighted_sample_matches_python_twin(spark):
     # determinism across partitioning
     again = {r["doc_id"] for r in S.weighted_sample(docs.repartition(9), "p").collect()}
     assert again == kept
+
+
+def test_assemble_corpus_equals_manual_composition(spark):
+    docs = spark.createDataFrame(
+        [(i, ["srcA", "srcB"][i % 2], f"tok{i} " * ((i % 5) + 1)) for i in range(80)],
+        ["doc_id", "source", "text"],
+    )
+    rates = {"srcA": 0.8, "srcB": 0.6}
+    epochs = {"srcA": 2.5, "srcB": 1.0}
+    got = {
+        (r["shard"], r["seq"]): (r["text"], list(r["boundaries"]))
+        for r in S.assemble_corpus(
+            docs, budget=16, rates=rates, epochs=epochs, n_shards=2
+        ).collect()
+    }
+    # manual composition with the same derived-id arithmetic (k = 3)
+    mixed = S.mixture_sample(docs, rates)
+    up = S.epoch_upsample(mixed, epochs).select(
+        (F.col("doc_id") * 3 + F.col("epoch")).alias("doc_id"), "text"
+    )
+    want = {
+        (r["shard"], r["seq"]): (r["text"], list(r["boundaries"]))
+        for r in S.materialize_sequences(up, budget=16, n_shards=2).collect()
+    }
+    assert got == want and len(got) > 2
+    # epoch copies are distinct documents: a 2.5-epoch source doc that
+    # survives mixture appears at least twice in the upsampled stream
+    n_up = up.count()
+    n_mixed = mixed.count()
+    assert n_up > n_mixed
+
+
+def test_epoch_upsample_preserves_columns(spark):
+    docs = spark.createDataFrame(
+        [(1, "srcA", "hello world", 0.7)], ["doc_id", "source", "text", "extra"]
+    )
+    out = S.epoch_upsample(docs, {"srcA": 2.0}).collect()
+    assert len(out) == 2
+    assert {r["epoch"] for r in out} == {0, 1}
+    assert all(r["text"] == "hello world" and r["extra"] == 0.7 for r in out)
