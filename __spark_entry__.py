@@ -16,8 +16,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ivory_spark.ops import bpe as BP
 from ivory_spark.ops import curate as CU
 from ivory_spark.ops import dedup as D
+from ivory_spark.ops import dsir as DS
 from ivory_spark.ops import domains as DOM
 from ivory_spark.ops import ir_relational as IR
 from ivory_spark.ops import pii as PII
@@ -243,6 +245,25 @@ _MIX_RATES = {"src0": 0.9, "src1": 0.5, "src2": 0.25, "src3": 1.0}
 # per-source epoch counts for the upsampling gate: covers >1 whole part,
 # frac-only (0.75 drops some docs entirely), and integer (no frac branch)
 _EPOCHS = {"src0": 2.5, "src1": 1.25, "src2": 0.75, "src3": 3.0}
+
+# BPE gate fixture: 24 merges learned by ops/bpe.train_bpe from the
+# sf0.01 documents word counts (deterministic: count desc, pair-lex
+# tie-break) — pinned here so the oracle can replay them as literal
+# string replaces. All merges have a != b (encode_fingerprint
+# precondition). Recorded in FIXTURES.md.
+_BPE_MERGES = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"), ("o", "w"),
+    ("ow", "</w>"), ("o", "r"), ("s", "t"), ("h", "</w>"), ("a", "t"),
+    ("l", "u"), ("i", "n"), ("a", "</w>"), ("g", "</w>"), ("y", "</w>"),
+    ("a", "r"), ("p", "ar"), ("t", "</w>"), ("i", "n</w>"), ("j", "o"),
+    ("jo", "in</w>"), ("a", "s"), ("as", "h</w>"), ("h", "ash</w>"),
+]
+
+# DSIR gate parameters: 64 hash buckets (the oracle recomputes the full
+# fit in SQL via generate_series, so the bucket table is never injected
+# as literals), target = two of the twenty synthetic sources.
+_DSIR_BUCKETS = 64
+_DSIR_TARGET = ("src0", "src1")
 
 
 def _pii_redact_fp(spark, sf_dir):
@@ -2109,6 +2130,95 @@ FROM (SELECT doc_id, rt, {_sql_u60('split')} AS u FROM k3)
 """
 
 
+# ---------------------------------------------------------------------------
+# BPE tokenizer + DSIR importance-resampling gates
+# ---------------------------------------------------------------------------
+
+
+def _dsir_logratio(spark, sf_dir) -> list[int]:
+    """Fit the quantized per-bucket log-ratio on (target = _DSIR_TARGET
+    sources, raw = all documents) — the model half of the DSIR gates."""
+    d = _docs(spark, sf_dir)
+    tgt = d.filter(F.col("source").isin(*_DSIR_TARGET))
+    return DS.fit_logratio(
+        DS.ngram_bucket_counts(tgt, _DSIR_BUCKETS),
+        DS.ngram_bucket_counts(d, _DSIR_BUCKETS),
+        _DSIR_BUCKETS,
+    )
+
+
+def _sql_bpe_encode_fixed() -> str:
+    """DuckDB twin of ops/bpe.encode_fingerprint(_BPE_MERGES): doc-level
+    space-joined char stream, each merge replayed as TWO literal
+    ' a b ' -> ' ab ' replaces (two passes == the per-word left-to-right
+    scan for a != b merges; see ops/bpe.encode_fingerprint)."""
+    expr = "' ' || stream || ' '"
+    for a, b in _BPE_MERGES:
+        for _ in range(2):
+            expr = f"replace({expr}, ' {a} {b} ', ' {a}{b} ')"
+    return rf"""
+WITH s AS (SELECT doc_id,
+  coalesce(list_aggregate(list_transform(
+      list_filter(string_split(lower(text), ' '), w -> w <> ''),
+      w -> rtrim(regexp_replace(w, '(.)', '\1 ', 'g')) || ' </w>'),
+    'string_agg', ' '), '') AS stream
+  FROM documents),
+enc AS (SELECT doc_id, trim({expr}) AS enc FROM s)
+SELECT doc_id,
+       (CASE WHEN enc = '' THEN 0 ELSE len(string_split(enc, ' ')) END)::INT
+         AS n_tokens,
+       substr(md5(enc), 1, 16) AS enc_fp
+FROM enc"""
+
+
+def _sql_dsir(final: str) -> str:
+    """Shared DuckDB body for the DSIR gates: hashed unigram+bigram
+    bucket counts, the full smoothed log-ratio fit recomputed in SQL
+    (generate_series over all buckets, floor(x + 0.5) micro-nat
+    quantization — the ops/dsir.fit_logratio semantics), exact int64
+    per-doc scores."""
+    b, q = _DSIR_BUCKETS, DS.QUANT
+    tgt = ", ".join(f"'{s}'" for s in _DSIR_TARGET)
+    return f"""
+WITH w AS (SELECT doc_id, source,
+    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+  FROM documents),
+uni AS (SELECT doc_id, source, unnest(ws) AS gram FROM w),
+bi AS (SELECT doc_id, source, ws[gs] || ' ' || ws[gs+1] AS gram
+       FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS gs) l),
+grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+bk AS (SELECT doc_id, source,
+    (('0x' || substr(md5('dsir:' || gram), 1, 15))::BIGINT % {b})::INT AS bucket
+  FROM grams),
+cnt AS (SELECT doc_id, bucket, count(*)::BIGINT AS cnt FROM bk GROUP BY 1, 2),
+tb AS (SELECT bucket, count(*)::BIGINT AS c FROM bk WHERE source IN ({tgt}) GROUP BY 1),
+rb AS (SELECT bucket, count(*)::BIGINT AS c FROM bk GROUP BY 1),
+tt AS (SELECT count(*)::DOUBLE + {b} AS t FROM bk WHERE source IN ({tgt})),
+rt AS (SELECT count(*)::DOUBLE + {b} AS t FROM bk),
+lr AS (SELECT gs.g::INT AS bucket,
+    floor({q} * ln(((coalesce(tb.c, 0) + 1) / tt.t)
+                   / ((coalesce(rb.c, 0) + 1) / rt.t)) + 0.5)::BIGINT AS lr
+  FROM (SELECT unnest(generate_series(0, {b - 1})) AS g) gs
+  LEFT JOIN tb ON tb.bucket = gs.g LEFT JOIN rb ON rb.bucket = gs.g, tt, rt),
+sc AS (SELECT c.doc_id, sum(c.cnt * l.lr)::BIGINT AS score
+       FROM cnt c JOIN lr l USING (bucket) GROUP BY 1)
+{final}"""
+
+
+def _sql_dsir_scores() -> str:
+    return _sql_dsir("SELECT doc_id, score FROM sc")
+
+
+def _sql_dsir_top50() -> str:
+    q = DS.QUANT
+    return _sql_dsir(
+        f""", k AS (SELECT doc_id, score,
+    score / {q}.0 + (-ln(-ln({_sql_u60('gumbel:dsir')}))) AS key FROM sc)
+SELECT doc_id, score, round(key, 6) AS key FROM k
+ORDER BY key DESC, doc_id LIMIT 50"""
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- IR pipeline (SURVEY.md §2: A1-A8, F1/F2/F5, K1/K2, J4/J5, P1) ---
@@ -2201,6 +2311,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", "source", "epoch"),
         "sample_weighted": lambda s, d: SP.weighted_sample(
             TS.quality_score(_docs(s, d)).select("doc_id", "quality"), "quality"
+        ),
+        "bpe_word_counts": lambda s, d: BP.word_counts(_docs(s, d)),
+        "bpe_encode_fixed": lambda s, d: BP.encode_fingerprint(
+            _docs(s, d), _BPE_MERGES
+        ),
+        "dsir_scores": lambda s, d: DS.dsir_score(
+            _docs(s, d), _dsir_logratio(s, d)
+        ),
+        "dsir_top50": lambda s, d: DS.dsir_resample(
+            _docs(s, d), _dsir_logratio(s, d), k=50
         ),
         "curate_pipeline": _curate_pipeline,
         "assemble_pipeline": lambda s, d: SP.assemble_corpus(
@@ -2378,6 +2498,11 @@ FROM b""",
         "sample_corpus_shuffle": _sql_corpus_shuffle(8),
         "sample_epoch_upsample": _sql_epoch_upsample(),
         "sample_weighted": _sql_weighted_sample(),
+        "bpe_word_counts": "WITH " + TOKS + " SELECT term AS word, "
+        "count(*)::BIGINT AS cnt FROM toks GROUP BY term",
+        "bpe_encode_fixed": _sql_bpe_encode_fixed(),
+        "dsir_scores": _sql_dsir_scores(),
+        "dsir_top50": _sql_dsir_top50(),
         "curate_pipeline": _sql_curate_pipeline(),
         "assemble_pipeline": _sql_assemble_pipeline(64, 4),
         "dedup_substring_spans": _sql_substring_spans(5, 2),

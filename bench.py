@@ -225,6 +225,44 @@ def big_block(spark, n_docs: int, cpus: int, sf_dir: str,
     t0 = time.monotonic()
     out["shuffle_rows"] = corpus_shuffle(cdocs, n_buckets=256).count()
     out["shuffle_sec"] = round(time.monotonic() - t0, 3)
+
+    # BPE tokenizer over the same 500k corpus: train = one
+    # vocabulary-sized word-count shuffle + the driver merge loop
+    # (50k-word cap, 256 merges); encode = Arrow-batched, word-memoized
+    # merge scans — tokens/s is the tokenizer-throughput number a
+    # pipeline budgets by
+    from ivory_spark.ops.bpe import encode, train_bpe
+
+    t0 = time.monotonic()
+    model = train_bpe(cdocs, n_merges=256, max_words=50_000)
+    out["bpe_train_sec"] = round(time.monotonic() - t0, 3)
+    out["bpe_vocab"] = len(model.vocab)
+    t0 = time.monotonic()
+    agg = encode(cdocs, model).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("toks")
+    ).collect()[0]
+    enc_sec = time.monotonic() - t0
+    out["bpe_tokens"] = int(agg["toks"])
+    out["bpe_encode_sec"] = round(enc_sec, 3)
+    out["bpe_tokens_per_sec"] = round(agg["toks"] / enc_sec, 1)
+
+    # DSIR selection over the same corpus: fit = two fixed-width bucket
+    # aggregations (state never grows with data), select = one
+    # map-side-combined score agg + TakeOrderedAndProject top-k
+    from ivory_spark.ops import dsir as DSIR
+
+    tgt = cdocs.filter(F.col("doc_id") % 20 == 0)
+    t0 = time.monotonic()
+    lr = DSIR.fit_logratio(
+        DSIR.ngram_bucket_counts(tgt, 4096),
+        DSIR.ngram_bucket_counts(cdocs, 4096), 4096,
+    )
+    out["dsir_fit_sec"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    out["dsir_selected"] = DSIR.dsir_resample(cdocs, lr, k=10_000).count()
+    sel_sec = time.monotonic() - t0
+    out["dsir_select_sec"] = round(sel_sec, 3)
+    out["dsir_docs_per_sec"] = round(n_docs / sel_sec, 1)
     return out
 
 

@@ -240,6 +240,43 @@ def main() -> None:
          f"hash rollup partial-aggregated, rank-free, keyed joins: {ok_substr}\n")
     )
 
+    # BPE word counting must be one partial-aggregated Exchange (the
+    # shuffle is vocabulary-sized, not corpus-sized); DSIR scoring must
+    # be a single map-side-combined groupBy over a zero-shuffle gram
+    # projection (no Python eval, no join — the log-ratio table rides
+    # as a literal array), and the resample top-k must compile to
+    # TakeOrderedAndProject (bounded per-partition top-k), never a
+    # global Sort or single-task Window
+    from ivory_spark.ops import bpe as BPE
+    from ivory_spark.ops import dsir as DSIR
+
+    wc_plan = captured_explain(BPE.word_counts(docs.withColumn("text", F.lit("a b"))))
+    ok_bpe = (
+        len(re.findall(r"\(\d+\) Exchange", wc_plan)) == 1
+        and "partial_count" in wc_plan
+        and "EvalPython" not in wc_plan
+    )
+    lr64 = [0] * 64
+    score_plan = captured_explain(
+        DSIR.dsir_score(docs.withColumn("text", F.lit("a b")), lr64)
+    )
+    sel_plan = captured_explain(
+        DSIR.dsir_resample(docs.withColumn("text", F.lit("a b")), lr64, k=5)
+    )
+    ok_dsir = (
+        len(re.findall(r"\(\d+\) Exchange", score_plan)) == 1
+        and "partial_sum" in score_plan
+        and "EvalPython" not in score_plan
+        and "Join" not in score_plan
+        and "TakeOrderedAndProject" in sel_plan
+        and "Window" not in sel_plan
+    )
+    sections.append(
+        ("bpe/dsir checks",
+         f"bpe word_counts = one partial-agg Exchange, no Python: {ok_bpe}\n"
+         f"dsir score one Exchange + resample TakeOrdered: {ok_dsir}\n")
+    )
+
     # cascade candidates_df flow: the stage-2 plan must contain the
     # allow-list UNION feeding the same (qid, shard) groupBy — survivors
     # ride the shuffle, they never detour through the driver
@@ -277,6 +314,8 @@ def main() -> None:
     print("EPOCH_NO_EXCHANGE_OK" if ok_epoch else "EPOCH_EXCHANGE_PRESENT")
     print("SHUFFLE_BUCKETED_OK" if ok_shuffle else "SHUFFLE_PLAN_UNEXPECTED")
     print("MATERIALIZE_PLAN_OK" if ok_mat else "MATERIALIZE_PLAN_UNEXPECTED")
+    print("BPE_PLAN_OK" if ok_bpe else "BPE_PLAN_UNEXPECTED")
+    print("DSIR_PLAN_OK" if ok_dsir else "DSIR_PLAN_UNEXPECTED")
     if ok_casc is not None:
         print("CASCADE_UNION_OK" if ok_casc else "CASCADE_UNION_MISSING")
 
