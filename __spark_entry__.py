@@ -2171,6 +2171,74 @@ SELECT doc_id,
 FROM enc"""
 
 
+def _pack_materialize_ids(spark, sf_dir):
+    """materialize_token_sequences over SQL-reproducible synthetic token
+    ids (h60('tokid:'||word) % 1000 per whitespace token) so the packed
+    id sequences hash-compare against the DuckDB twin. The real
+    producer is ops/bpe.encode, whose merge semantics carry their own
+    gate (bpe_encode_fixed); this gate pins the id-array packing."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    ids = F.transform(
+        toks, lambda w: (SP._h60("tokid", w) % F.lit(1000)).cast("int")
+    )
+    enc = d.select("doc_id", ids.alias("token_ids"))
+    out = SP.materialize_token_sequences(enc, budget=64, n_shards=4)
+    return out.select(
+        "shard",
+        "seq",
+        "n_tokens",
+        F.array_join(
+            F.transform("boundaries", lambda o: o.cast("string")), ","
+        ).alias("bounds"),
+        F.substring(
+            F.md5(
+                F.array_join(
+                    F.transform("token_ids", lambda i: i.cast("string")), ","
+                )
+            ),
+            1,
+            16,
+        ).alias("ids_fp"),
+    )
+
+
+def _sql_materialize_token_sequences(budget: int = 64, n_shards: int = 4) -> str:
+    """DuckDB twin of _pack_materialize_ids: the materialize CTE chain
+    with list_transform'd synthetic token ids and a comma-joined
+    ordered id-string aggregation (string_agg of per-piece
+    array_to_string == array_join of the flattened id array because
+    every piece is non-empty)."""
+    b = budget
+    return f"""
+WITH t AS (SELECT doc_id,
+    list_transform(list_filter(string_split(lower(text), ' '), x -> x <> ''),
+      w -> (('0x' || substr(md5('tokid:' || w), 1, 15))::BIGINT % 1000)::INT) AS toks
+  FROM documents),
+base AS (SELECT doc_id,
+    (('0x' || substr(md5('shard:' || doc_id::VARCHAR), 1, 15))::BIGINT % {n_shards})::INT AS shard,
+    len(toks)::BIGINT AS n_tokens, toks FROM t),
+p AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_start
+  FROM base),
+x AS (SELECT shard, tok_start, n_tokens, toks, gs AS seq
+  FROM p, LATERAL (SELECT unnest(generate_series(tok_start // {b},
+       (tok_start + n_tokens - 1) // {b})) AS gs) l
+  WHERE n_tokens > 0),
+pieces AS (SELECT shard, seq, tok_start,
+    toks[(greatest(0, seq * {b} - tok_start) + 1):least(n_tokens, (seq + 1) * {b} - tok_start)] AS piece,
+    CASE WHEN tok_start >= seq * {b} THEN (tok_start - seq * {b})::INT END AS boundary
+  FROM x),
+s AS (SELECT shard, seq,
+    string_agg(array_to_string(piece, ','), ',' ORDER BY tok_start) AS idstr,
+    sum(len(piece)) AS n_tokens,
+    coalesce(string_agg(boundary::VARCHAR, ',' ORDER BY tok_start)
+      FILTER (WHERE boundary IS NOT NULL), '') AS bounds
+  FROM pieces GROUP BY shard, seq)
+SELECT shard, seq::BIGINT AS seq, n_tokens::INT AS n_tokens, bounds,
+       substr(md5(idstr), 1, 16) AS ids_fp FROM s"""
+
+
 def _sql_dsir(final: str) -> str:
     """Shared DuckDB body for the DSIR gates: hashed unigram+bigram
     bucket counts, the full smoothed log-ratio fit recomputed in SQL
@@ -2312,6 +2380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted": lambda s, d: SP.weighted_sample(
             TS.quality_score(_docs(s, d)).select("doc_id", "quality"), "quality"
         ),
+        "pack_materialize_ids": _pack_materialize_ids,
         "bpe_word_counts": lambda s, d: BP.word_counts(_docs(s, d)),
         "bpe_encode_fixed": lambda s, d: BP.encode_fingerprint(
             _docs(s, d), _BPE_MERGES
@@ -2498,6 +2567,7 @@ FROM b""",
         "sample_corpus_shuffle": _sql_corpus_shuffle(8),
         "sample_epoch_upsample": _sql_epoch_upsample(),
         "sample_weighted": _sql_weighted_sample(),
+        "pack_materialize_ids": _sql_materialize_token_sequences(64, 4),
         "bpe_word_counts": "WITH " + TOKS + " SELECT term AS word, "
         "count(*)::BIGINT AS cnt FROM toks GROUP BY term",
         "bpe_encode_fixed": _sql_bpe_encode_fixed(),

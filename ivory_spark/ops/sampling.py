@@ -389,6 +389,20 @@ def materialize_sequences(
     placed = _layout(docs, n_shards, id_col, text_col, keep_tokens=True).filter(
         F.col("n_tokens") > 0
     )
+    return _assemble_sequences(placed, b).select(
+        "shard",
+        F.col("seq").cast("long").alias("seq"),
+        F.size("toks").cast("int").alias("n_tokens"),
+        "boundaries",
+        F.array_join("toks", " ").alias("text"),
+    )
+
+
+def _assemble_sequences(placed: DataFrame, b: int) -> DataFrame:
+    """Shared sequence-assembly core for materialize_sequences and
+    materialize_token_sequences: placed = (shard, tok_start, n_tokens,
+    toks) with n_tokens > 0 -> (shard, seq, toks, boundaries). The toks
+    element type flows through unchanged (strings or token ids)."""
     seq_first = F.expr(f"tok_start div {b}")
     seq_last = F.expr(f"(tok_start + n_tokens - 1) div {b}")
     x = placed.select(
@@ -420,14 +434,53 @@ def materialize_sequences(
     bounds = F.filter(
         F.transform(ps, lambda s: s["boundary"]), lambda o: o.isNotNull()
     )
-    return (
-        parts.groupBy("shard", "seq")
-        .agg(toks.alias("toks"), bounds.alias("boundaries"))
-        .select(
-            "shard",
-            F.col("seq").cast("long").alias("seq"),
-            F.size("toks").cast("int").alias("n_tokens"),
-            "boundaries",
-            F.array_join("toks", " ").alias("text"),
-        )
+    return parts.groupBy("shard", "seq").agg(
+        toks.alias("toks"), bounds.alias("boundaries")
+    )
+
+
+def materialize_token_sequences(
+    docs: DataFrame,
+    budget: int,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+) -> DataFrame:
+    """materialize_sequences over an ALREADY-TOKENIZED corpus — e.g. the
+    (doc_id, token_ids) output of ops/bpe.encode: packs the integer
+    token-id arrays into fixed `budget`-id training sequences, the
+    actual tensors a pretraining loader consumes.
+
+    Returns (shard, seq, n_tokens, boundaries, token_ids) with the same
+    layout order ((md5-shard, id ascending)), the same document-boundary
+    offsets, and the same ONE-shuffle plan as the text version: the
+    layout window's hashpartitioning(shard) is reused by the
+    (shard, seq) assembly agg. Tokenize once with the expensive
+    tokenizer (Arrow UDF), pack entirely in JVM expressions.
+    """
+    b = int(budget)
+    shard = (_h60("shard", F.col(id_col)) % n_shards).cast("int")
+    base = docs.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        F.size(ids_col).cast("long").alias("n_tokens"),
+        F.col(ids_col).alias("toks"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = base.select(
+        "shard",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("tok_start"),
+        "n_tokens",
+        "toks",
+    ).filter(F.col("n_tokens") > 0)
+    return _assemble_sequences(placed, b).select(
+        "shard",
+        F.col("seq").cast("long").alias("seq"),
+        F.size("toks").cast("int").alias("n_tokens"),
+        "boundaries",
+        F.col("toks").alias("token_ids"),
     )

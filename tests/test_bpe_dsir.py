@@ -178,6 +178,57 @@ def test_encode_distributed_matches_sql_replay_and_partitioning(spark):
             assert fp[row["doc_id"]] == (len(ref.split(" ")) if ref else 0, want)
 
 
+def test_materialize_token_sequences_composes_with_encode(spark):
+    """bpe.encode -> materialize_token_sequences == a local replay of
+    the layout contract: shard by md5, order by doc_id, concatenate the
+    id arrays, chunk at the budget; boundaries are the in-chunk offsets
+    where a new document starts."""
+    from ivory_spark.ops.bpe import BpeModel, encode, learn_merges
+    from ivory_spark.ops.sampling import materialize_token_sequences
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(12),
+            "text": [
+                " ".join(["low", "newest", "widest", "lower"][: (i % 4) + 1] * (i + 1))
+                if i != 7
+                else ""  # an empty doc must occupy no space
+                for i in range(12)
+            ],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    model = BpeModel.from_merges(learn_merges(SENNRICH, 8), set("lowernwidst"))
+    enc = encode(docs, model)
+    budget, n_shards = 16, 2
+    got = {
+        (r["shard"], r["seq"]): (list(r["token_ids"]), list(r["boundaries"]))
+        for r in materialize_token_sequences(enc, budget, n_shards).collect()
+    }
+    # local replay
+    ids_by_doc = {r["doc_id"]: list(r["token_ids"]) for r in enc.collect()}
+
+    def shard_of(d):
+        return int(hashlib.md5(f"shard:{d}".encode()).hexdigest()[:15], 16) % n_shards
+
+    want = {}
+    for s in range(n_shards):
+        stream, starts = [], []
+        for d in sorted(d for d in ids_by_doc if shard_of(d) == s):
+            if ids_by_doc[d]:
+                starts.append(len(stream))
+                stream.extend(ids_by_doc[d])
+        for q in range(0, (len(stream) + budget - 1) // budget):
+            chunk = stream[q * budget : (q + 1) * budget]
+            bounds = [p - q * budget for p in starts if q * budget <= p < q * budget + len(chunk)]
+            want[(s, q)] = (chunk, bounds)
+    assert got == want
+    # token conservation + budget exactness (all but each shard's tail)
+    for (s, q), (chunk, _) in want.items():
+        if any(k[0] == s and k[1] > q for k in want):
+            assert len(chunk) == budget
+
+
 def pandas_dsir_score(pdf, logratio, seed="dsir"):
     """Pure-pandas twin of dsir_score (hash via md5, exact ints)."""
     n_buckets = len(logratio)

@@ -206,11 +206,26 @@ def main() -> None:
     # layout window's hashpartitioning(shard) exchange (same-shard rows
     # are already co-located, so Catalyst satisfies the grouping
     # distribution without a second shuffle) — exactly one Exchange total
-    ok_mat = (
-        len(re.findall(r"\(\d+\) Exchange", mat_plan)) == 1
-        and "hashpartitioning(shard" in mat_plan
-        and "SinglePartition" not in mat_plan
-        and "CartesianProduct" not in mat_plan
+    # the token-id variant must keep the identical ONE-exchange shape
+    mat_ids_plan = captured_explain(
+        SP.materialize_token_sequences(
+            docs.select(
+                "doc_id",
+                F.transform(
+                    F.split(F.lower("text"), " "),
+                    lambda w: F.crc32(w).cast("int"),
+                ).alias("token_ids"),
+            ),
+            budget=256,
+            n_shards=4,
+        )
+    )
+    ok_mat = all(
+        len(re.findall(r"\(\d+\) Exchange", p)) == 1
+        and "hashpartitioning(shard" in p
+        and "SinglePartition" not in p
+        and "CartesianProduct" not in p
+        for p in (mat_plan, mat_ids_plan)
     )
     sections.append(
         ("corpus-assembly checks (shuffle / epochs / materialize)",
