@@ -2147,6 +2147,46 @@ def _dsir_logratio(spark, sf_dir) -> list[int]:
     )
 
 
+def _lm_nll(spark, sf_dir):
+    """CCNet-style perplexity filter gate: reference model fit on the
+    _DSIR_TARGET sources, mean NLL scored over every document."""
+    d = _docs(spark, sf_dir)
+    ref = d.filter(F.col("source").isin(*_DSIR_TARGET))
+    lp = DS.fit_logprob(
+        DS.ngram_bucket_counts(ref, _DSIR_BUCKETS), _DSIR_BUCKETS
+    )
+    return DS.lm_perplexity(d, lp)
+
+
+def _sql_lm_nll() -> str:
+    """DuckDB twin of _lm_nll: the dsir gram/bucket CTEs, a log-prob
+    table over all buckets fit on the reference sources (floor(x+0.5)
+    micro-nat quantization), then nll = -sum(lp)/(n*QUANT) — a ratio of
+    exact integers, rounded to 6 dp like the Spark side."""
+    b, q = _DSIR_BUCKETS, DS.QUANT
+    tgt = ", ".join(f"'{s}'" for s in _DSIR_TARGET)
+    return f"""
+WITH w AS (SELECT doc_id, source,
+    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+  FROM documents),
+uni AS (SELECT doc_id, source, unnest(ws) AS gram FROM w),
+bi AS (SELECT doc_id, source, ws[gs] || ' ' || ws[gs+1] AS gram
+       FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS gs) l),
+grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+bk AS (SELECT doc_id, source,
+    (('0x' || substr(md5('dsir:' || gram), 1, 15))::BIGINT % {b})::INT AS bucket
+  FROM grams),
+tb AS (SELECT bucket, count(*)::BIGINT AS c FROM bk WHERE source IN ({tgt}) GROUP BY 1),
+tt AS (SELECT count(*)::DOUBLE + {b} AS t FROM bk WHERE source IN ({tgt})),
+lp AS (SELECT gs.g::INT AS bucket,
+    floor({q} * ln((coalesce(tb.c, 0) + 1) / tt.t) + 0.5)::BIGINT AS lp
+  FROM (SELECT unnest(generate_series(0, {b - 1})) AS g) gs
+  LEFT JOIN tb ON tb.bucket = gs.g, tt)
+SELECT bk.doc_id, count(*)::BIGINT AS n_grams,
+       round(-sum(lp.lp) / (count(*) * {q}.0), 6) AS nll
+FROM bk JOIN lp USING (bucket) GROUP BY bk.doc_id"""
+
+
 def _sql_bpe_encode_fixed() -> str:
     """DuckDB twin of ops/bpe.encode_fingerprint(_BPE_MERGES): doc-level
     space-joined char stream, each merge replayed as TWO literal
@@ -2391,6 +2431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_top50": lambda s, d: DS.dsir_resample(
             _docs(s, d), _dsir_logratio(s, d), k=50
         ),
+        "lm_perplexity_nll": _lm_nll,
         "curate_pipeline": _curate_pipeline,
         "assemble_pipeline": lambda s, d: SP.assemble_corpus(
             _docs(s, d), budget=64, rates=_MIX_RATES, epochs=_EPOCHS, n_shards=4
@@ -2573,6 +2614,7 @@ FROM b""",
         "bpe_encode_fixed": _sql_bpe_encode_fixed(),
         "dsir_scores": _sql_dsir_scores(),
         "dsir_top50": _sql_dsir_top50(),
+        "lm_perplexity_nll": _sql_lm_nll(),
         "curate_pipeline": _sql_curate_pipeline(),
         "assemble_pipeline": _sql_assemble_pipeline(64, 4),
         "dedup_substring_spans": _sql_substring_spans(5, 2),

@@ -28,6 +28,12 @@ At 100 TB everything is one scan + one vocabulary-free groupBy per
 corpus (the feature space is the FIXED n_buckets hash range, so state
 never grows with data) followed by a zero-shuffle scoring projection
 and one top-k — the shape you want for trillion-token selection.
+
+`fit_logprob` / `lm_perplexity` reuse the same machinery for the
+CCNet-style reference-model perplexity quality filter (Wenzek et al.
+2020, https://arxiv.org/abs/1911.00359): mean negative log-likelihood
+per document under a hashed n-gram model fit on a clean reference
+corpus.
 """
 
 from __future__ import annotations
@@ -137,6 +143,58 @@ def dsir_score(
     bucket = (_h60(seed, F.col("gram")) % F.lit(int(n_buckets))).cast("int")
     term = F.element_at(lr, bucket + 1).cast("long")
     return g.groupBy(id_col).agg(F.sum(term).cast("long").alias("score"))
+
+
+def fit_logprob(
+    ref_counts: DataFrame, n_buckets: int = 8192, alpha: float = 1.0
+) -> list[int]:
+    """Per-bucket quantized log-probability (micro-nats) of a hashed
+    bag-of-ngrams model fit on a REFERENCE corpus — the model half of
+    the CCNet-style perplexity filter (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    https://arxiv.org/abs/1911.00359 — public method; their KenLM is
+    replaced by the same fixed-width hashed n-gram model DSIR uses, so
+    model state never grows with data). lp[b] = floor(QUANT *
+    ln((c_b + alpha) / (total + alpha * B)) + 0.5); one
+    n_buckets-row collect."""
+    rows = ref_counts.groupBy("bucket").agg(F.sum("cnt").alias("c")).collect()
+    c = {int(r["bucket"]): int(r["c"]) for r in rows}
+    tot = sum(c.values()) + alpha * n_buckets
+    return [
+        int(math.floor(QUANT * math.log((c.get(b, 0) + alpha) / tot) + 0.5))
+        for b in range(int(n_buckets))
+    ]
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    logprob: list[int],
+    seed: str = "dsir",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_grams, nll): per-document mean negative log-likelihood
+    (nats, 6 dp) under the reference hashed-ngram model — low nll means
+    'looks like the reference corpus', the CCNet head/middle/tail
+    quality signal. The per-gram log-prob sum is an exact int64 (same
+    micro-nat quantization as dsir_score), so nll = -sum / (n * QUANT)
+    is the ratio of two exact integers — reproducible across engines,
+    partitionings, and accumulation orders. Filter with a threshold or
+    feed ops/sampling.weighted_sample for a soft version. Same plan
+    shape as dsir_score: one map-side-combined groupBy, no Python."""
+    n_buckets = len(logprob)
+    g = docs.select(F.col(id_col), F.explode(_grams(text_col)).alias("gram"))
+    lp = F.array(*[F.lit(int(v)) for v in logprob])
+    bucket = (_h60(seed, F.col("gram")) % F.lit(int(n_buckets))).cast("int")
+    term = F.element_at(lp, bucket + 1).cast("long")
+    agg = g.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.sum(term).cast("long").alias("lp_sum"),
+    )
+    nll = -F.col("lp_sum").cast("double") / (
+        F.col("n_grams").cast("double") * F.lit(float(QUANT))
+    )
+    return agg.select(id_col, "n_grams", F.round(nll, 6).alias("nll"))
 
 
 def dsir_resample(

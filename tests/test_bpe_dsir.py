@@ -275,6 +275,56 @@ def test_dsir_score_matches_pandas_twin(spark):
     assert got8 == got
 
 
+def test_lm_perplexity_matches_pandas_twin(spark):
+    """fit_logprob + lm_perplexity == a pure-python replay: quantized
+    reference log-probs, exact integer sums, nll ratio at 6 dp."""
+    import math
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(7),
+            "text": [
+                "spark join shuffle", "the cat sat", "join join join",
+                "spark spark", "out of domain words entirely",
+                "cat shuffle spark join", "sat the cat sat",
+            ],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    ref = docs.filter("doc_id < 4")
+    B = 32
+    lp = dsir.fit_logprob(dsir.ngram_bucket_counts(ref, B), B)
+    assert len(lp) == B and all(isinstance(v, int) and v < 0 for v in lp)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["nll"])
+        for r in dsir.lm_perplexity(docs, lp).collect()
+    }
+    # python twin
+    ref_counts = {}
+    for _, row in pdf[pdf.doc_id < 4].iterrows():
+        toks = [t for t in row["text"].lower().split(" ") if t]
+        for g in toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]:
+            h = int(hashlib.md5(f"dsir:{g}".encode()).hexdigest()[:15], 16) % B
+            ref_counts[h] = ref_counts.get(h, 0) + 1
+    tot = sum(ref_counts.values()) + B
+    lp_want = [
+        int(math.floor(dsir.QUANT * math.log((ref_counts.get(b, 0) + 1) / tot) + 0.5))
+        for b in range(B)
+    ]
+    assert lp == lp_want
+    for _, row in pdf.iterrows():
+        toks = [t for t in row["text"].lower().split(" ") if t]
+        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        s = sum(
+            lp[int(hashlib.md5(f"dsir:{g}".encode()).hexdigest()[:15], 16) % B]
+            for g in grams
+        )
+        want = round(-s / (len(grams) * dsir.QUANT), 6)
+        assert got[row["doc_id"]] == (len(grams), want)
+    # the in-domain docs must score lower nll than the out-of-domain one
+    assert max(got[d][1] for d in range(4)) < got[4][1]
+
+
 def test_dsir_resample_gumbel_topk(spark):
     pdf = pd.DataFrame(
         {
