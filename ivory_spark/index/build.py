@@ -121,22 +121,36 @@ def build_docmap(
     """Dedup by sha256(content) (deterministic winner = min identity),
     then assign dense 1-based docnos ordered by (repo, path, commit).
 
-    Winner selection is a single window over sha256 — one keyed shuffle
-    of the corpus instead of the groupBy(min-struct) + semi-join pair
-    (which shuffles twice and rescans), and exactly one survivor per
-    hash even for fully-identical rows (matching the oracle's
-    drop_duplicates semantics)."""
+    Every decision here depends only on (repo, path, commit, sha256) —
+    ~100 bytes/row — never on the content payload, so the winner window
+    and the two-phase docno assignment run over that slim projection and
+    the content is re-attached at the end with one equi-join (guide §8:
+    decide with small rows, move big rows once). The slim side is
+    broadcast when it fits (content then crosses ZERO exchanges — the
+    previous shape shuffled and persisted the full content column twice);
+    past the broadcast budget it falls back to a shuffled-hash join, one
+    content exchange. Precondition (holds for every corpus source here):
+    (repo, path, commit) identifies a row — two fully identical rows
+    would both survive the re-attach where the window picked one."""
     from pyspark.sql import Window
 
-    hashed = corpus.withColumn("sha256", F.sha2(F.col("content"), 256))
     w_cols = ["repo", "path", "commit"]
+    keys = corpus.select(*w_cols, F.sha2(F.col("content"), 256).alias("sha256"))
     w = Window.partitionBy("sha256").orderBy(*w_cols)
-    dedup = (
-        hashed.withColumn("_rn", F.row_number().over(w))
+    winners = (
+        keys.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    return assign_sequential_ids(dedup, w_cols, "docno", partitions)
+    slim, total, pinned = assign_sequential_ids(winners, w_cols, "docno", partitions)
+    hashed = corpus.withColumn("sha256", F.sha2(F.col("content"), 256))
+    join_key = w_cols + ["sha256"]
+    if total <= 1_000_000:
+        docmap = hashed.join(F.broadcast(slim), join_key)
+    else:
+        docmap = hashed.join(slim.hint("shuffle_hash"), join_key)
+    docmap = docmap.select(*corpus.columns, "sha256", "docno")
+    return docmap, total, pinned
 
 
 def _postings_schema(positional: bool = False) -> str:
@@ -319,7 +333,10 @@ def encode_postings(
     def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
         """Encode every complete (termid, salt) run in a sorted
         slice — one output DataFrame for the whole slice (a
-        per-group pandas frame would dominate wall time)."""
+        per-group pandas frame would dominate wall time). Blobs come
+        from codec.encode_frame, which vectorizes the varint/bitlen
+        work across the entire slice instead of per block (byte-
+        identical output, ~8x less encode CPU)."""
         t = pdf["termid"].to_numpy(np.int64)
         s = pdf["salt"].to_numpy(np.int64)
         docno = pdf["docno"].to_numpy(np.int64)
@@ -332,33 +349,30 @@ def encode_postings(
         idf_all = bm25_idf(n_docs, dfs, mode=idf_mode)
         imp_all = idf_all * bm25_tf_part(tf, dl, avgdl, k1, b)
         positional = "positions" in pdf.columns
+        out = {
+            "termid": t[chg],
+            "salt": s[chg],
+            "df": dfs[chg],
+            "cf": cfs[chg],
+            "n": ends - chg,
+            "first_docno": docno[chg],
+            "last_docno": docno[ends - 1],
+            "max_impact": np.maximum.reduceat(imp_all, chg).astype(np.float32),
+            "blob": codec.encode_frame(
+                docno.astype(np.uint64), tf, dl, imp_all, chg, ends
+            ),
+        }
         if positional:
             pos_lists = pdf["positions"].to_numpy()
-        out = {k: [] for k in ("termid", "salt", "df", "cf", "n",
-                                "first_docno", "last_docno", "max_impact", "blob")}
-        if positional:
-            out["pos_blob"] = []
-        for a, z in zip(chg, ends):
-            d = docno[a:z]
-            imp = imp_all[a:z]
-            out["termid"].append(t[a])
-            out["salt"].append(s[a])
-            out["df"].append(dfs[a])
-            out["cf"].append(cfs[a])
-            out["n"].append(z - a)
-            out["first_docno"].append(d[0])
-            out["last_docno"].append(d[-1])
-            out["max_impact"].append(np.float32(imp.max()))
-            out["blob"].append(
-                codec.encode_run(d.astype(np.uint64), tf[a:z], dl[a:z], imp)
-            )
-            if positional:
-                flat = (
+            out["pos_blob"] = [
+                codec.encode_positions(
                     np.concatenate([np.asarray(p) for p in pos_lists[a:z]])
                     if z > a
-                    else np.empty(0, dtype=np.int64)
+                    else np.empty(0, dtype=np.int64),
+                    tf[a:z],
                 )
-                out["pos_blob"].append(codec.encode_positions(flat, tf[a:z]))
+                for a, z in zip(chg, ends)
+            ]
         return pd.DataFrame(out)
 
     def encode_partition(batches):

@@ -259,6 +259,160 @@ def encode_run(
     return hdr.tobytes() + directory.tobytes() + b"".join(payloads)
 
 
+def varint_lengths(values: np.ndarray) -> np.ndarray:
+    """Per-value LEB128 byte length (vectorized; 0 -> 1 byte)."""
+    v = np.asarray(values, dtype=np.uint64)
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    for j in range(1, 10):
+        nbytes += (v >= (np.uint64(1) << np.uint64(7 * j))).astype(np.int64)
+    return nbytes
+
+
+def _varint_small(values: np.ndarray) -> bytes:
+    """Scalar LEB128 encode for tiny arrays (exception highs): the
+    vectorized varint_encode pays ~30 numpy dispatches regardless of
+    size, which dominates for the 1-10-value exception lists."""
+    out = bytearray()
+    for x in values.tolist():
+        x = int(x)
+        while x >= 0x80:
+            out.append((x & 0x7F) | 0x80)
+            x >>= 7
+        out.append(x)
+    return bytes(out)
+
+
+def encode_frame(
+    docnos: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    impacts: np.ndarray,
+    run_starts: np.ndarray,
+    run_ends: np.ndarray,
+) -> list[bytes]:
+    """Encode many runs at once, byte-identical to per-run encode_run.
+
+    encode_run spends ~80% of its time in per-block varint_encode calls
+    whose fixed numpy-dispatch overhead dwarfs the work on <=128-value
+    blocks (measured 61 s single-threaded for a 1.65M-posting build
+    slice). Here every per-value quantity — d-gaps, varint byte
+    lengths/streams for gaps/tf/dl, bit lengths — is computed ONCE over
+    the whole frame with a handful of vectorized passes, and per-block
+    sections become slices of the precomputed streams. The PForDelta
+    width search uses the precomputed bit lengths (exception varint
+    sizes derive from bitlen(v >> b) == bitlen(v) - b, so no trial
+    encode is needed); only the low-bit packbits of chosen-width blocks
+    and the tiny exception lists are materialized per block.
+
+    run_starts/run_ends delimit docno-sorted runs (same contract as
+    encode_run per run). Returns one blob per run.
+    """
+    n_total = int(len(docnos))
+    docnos = np.asarray(docnos, dtype=np.uint64)
+    tfs64 = np.asarray(tfs, dtype=np.uint64)
+    dls64 = np.asarray(dls, dtype=np.uint64)
+    imp = np.asarray(impacts, dtype=np.float32)
+    run_starts = np.asarray(run_starts, dtype=np.int64)
+    run_ends = np.asarray(run_ends, dtype=np.int64)
+
+    # global d-gaps: absolute at each run start, deltas elsewhere
+    gaps = np.empty(n_total, dtype=np.uint64)
+    if n_total:
+        gaps[0] = docnos[0]
+        gaps[1:] = docnos[1:] - docnos[:-1]
+        gaps[run_starts] = docnos[run_starts]
+        interior = np.ones(n_total, dtype=bool)
+        interior[run_starts] = False
+        # uint64 wraparound on a non-increasing docno yields a huge gap;
+        # detect via the signed view to keep encode_run's contract
+        if interior.any() and (gaps[interior].view(np.int64) <= 0).any():
+            raise ValueError("docnos must be strictly increasing within a run")
+
+    # one vectorized pass per stream instead of one call per block
+    vlen_g = varint_lengths(gaps)
+    cum_g = np.zeros(n_total + 1, dtype=np.int64)
+    np.cumsum(vlen_g, out=cum_g[1:])
+    stream_g = varint_encode(gaps).tobytes()
+    vlen_tf = varint_lengths(tfs64)
+    cum_tf = np.zeros(n_total + 1, dtype=np.int64)
+    np.cumsum(vlen_tf, out=cum_tf[1:])
+    stream_tf = varint_encode(tfs64).tobytes()
+    vlen_dl = varint_lengths(dls64)
+    cum_dl = np.zeros(n_total + 1, dtype=np.int64)
+    np.cumsum(vlen_dl, out=cum_dl[1:])
+    stream_dl = varint_encode(dls64).tobytes()
+    bl = _bitlen(gaps)
+
+    blobs: list[bytes] = []
+    for r0, r1 in zip(run_starts.tolist(), run_ends.tolist()):
+        n = r1 - r0
+        bs = _block_size_for(n)
+        n_blocks = (n + bs - 1) // bs
+        hdr = np.zeros(1, dtype=_HDR)
+        hdr["n_postings"] = n
+        hdr["n_blocks"] = n_blocks
+        hdr["block_size"] = bs
+        if n == 0:
+            blobs.append(hdr.tobytes())
+            continue
+        directory = np.zeros(n_blocks, dtype=_DIR)
+        parts: list[bytes] = []
+        off = 0
+        for bi in range(n_blocks):
+            lo = r0 + bi * bs
+            hi = min(r1, lo + bs)
+            n_blk = hi - lo
+            vp_len = int(cum_g[hi] - cum_g[lo])
+            sec = None
+            if n_blk >= 32:
+                bl_blk = bl[lo:hi]
+                bl_sorted = np.sort(bl_blk)
+                candidates = {int(bl_sorted[(n_blk * 9) // 10]), int(bl_sorted[-1])}
+                best = None
+                for b in sorted(candidates):
+                    exc = bl_blk > b
+                    n_exc = int(exc.sum())
+                    if n_exc > 255:
+                        continue
+                    # bitlen(v >> b) == bitlen(v) - b for exceptions
+                    high_bytes = int(((bl_blk[exc] - b + 6) // 7).sum())
+                    size = 2 + (n_blk * b + 7) // 8 + n_exc + high_bytes
+                    if best is None or size < best[0]:
+                        best = (size, b, exc)
+                if best is not None and best[0] < 2 + vp_len:
+                    _, b, exc = best
+                    g_blk = gaps[lo:hi]
+                    if b:
+                        mask = (
+                            (np.uint64(1) << np.uint64(b)) - np.uint64(1)
+                            if b < 64
+                            else np.uint64(0xFFFFFFFFFFFFFFFF)
+                        )
+                        low = g_blk & mask
+                        bits = (
+                            (low[:, None] >> np.arange(b, dtype=np.uint64)[None, :])
+                            & np.uint64(1)
+                        ).astype(np.uint8)
+                        packed = np.packbits(bits.ravel(), bitorder="little").tobytes()
+                    else:
+                        packed = b""
+                    pos = np.nonzero(exc)[0].astype(np.uint8).tobytes()
+                    highs = _varint_small(g_blk[exc] >> np.uint64(b))
+                    sec = bytes([b, int(exc.sum())]) + packed + pos + highs
+            if sec is None:
+                sec = b"\xff\x00" + stream_g[cum_g[lo] : cum_g[hi]]
+            payload = (
+                sec
+                + stream_tf[cum_tf[lo] : cum_tf[hi]]
+                + stream_dl[cum_dl[lo] : cum_dl[hi]]
+            )
+            off += len(payload)
+            directory[bi] = (docnos[lo], docnos[hi - 1], imp[lo:hi].max(), off)
+            parts.append(payload)
+        blobs.append(hdr.tobytes() + directory.tobytes() + b"".join(parts))
+    return blobs
+
+
 def read_header(blob: bytes) -> tuple[int, int, int]:
     hdr = np.frombuffer(blob, dtype=_HDR, count=1)[0]
     return int(hdr["n_postings"]), int(hdr["n_blocks"]), int(hdr["block_size"])

@@ -67,8 +67,11 @@ def curate_corpus(
     out = docs
 
     if min_quality is not None:
-        q = _ts.quality_score(out, id_col, text_col).select(id_col, "quality")
-        out = out.join(q.filter(F.col("quality") >= min_quality).select(id_col), id_col)
+        # per-row gate applied inline: quality is a pure projection of
+        # the text, so a filter fuses into the scan — no quality_score
+        # materialization + corpus-wide equi-join back to the text frame
+        # (the join shuffled the wide text column once per stage)
+        out = out.filter(_ts.quality_expr(F.col(text_col)) >= min_quality)
 
     if max_dup_line_frac is not None or max_top_ngram_char_frac is not None:
         r = _rep.repetition_stats(out, id_col, text_col)
@@ -112,14 +115,12 @@ def curate_corpus(
         out = out.join(kill, id_col, "left_anti")
 
     if redact:
-        red = _pii.redact_pii(out, id_col, text_col).withColumnRenamed(
-            text_col, "_redacted"
-        )
-        out = (
-            out.join(red, id_col)
-            .drop(text_col)
-            .withColumnRenamed("_redacted", text_col)
-        )
+        # redaction is a per-row regexp projection: rewrite the text
+        # column in place instead of joining redact_pii's output back
+        red = F.col(text_col)
+        for pat, tag in _pii._TAGS:
+            red = F.regexp_replace(red, pat, tag)
+        out = out.withColumn(text_col, red)
 
     if mixture is not None:
         out = _samp.mixture_sample(out, mixture, id_col=id_col)

@@ -43,10 +43,18 @@ def tokens(docs: DataFrame) -> DataFrame:
 
 
 def term_stats(docs: DataFrame) -> DataFrame:
-    """(term, df, cf)."""
-    return tokens(docs).groupBy("term").agg(
-        F.countDistinct("doc_id").cast("int").alias("df"),
-        F.count(F.lit(1)).alias("cf"),
+    """(term, df, cf). Two plain partial-aggregated groupBys — counting
+    (term, doc_id) groups — instead of countDistinct-next-to-count,
+    which Catalyst plans as an Expand that doubles every exploded token
+    row before the first exchange (guide §2.3: shuffle fewer bytes).
+    df = number of (term, doc_id) groups = countDistinct(doc_id);
+    cf = sum of per-doc counts = count of occurrences. Identical values."""
+    per_doc = tokens(docs).groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tfc")
+    )
+    return per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).cast("int").alias("df"),
+        F.sum("tfc").alias("cf"),
     )
 
 
@@ -90,20 +98,29 @@ def _query_df(spark: SparkSession, queries: list[dict]) -> DataFrame:
 
 
 def _candidates(spark: SparkSession, docs: DataFrame, queries: list[dict]) -> DataFrame:
-    """(qid, doc_id, term, qtf, tf, dl, df) + global (n, avgdl) columns."""
+    """(qid, doc_id, term, qtf, tf, doclen, df) + global (n, avgdl) columns.
+
+    One documents scan instead of four: df and doclen are window
+    aggregates over the single (doc_id, term, tf) aggregation rather
+    than three independent re-derivations re-scanned and equi-joined
+    back (guide §2.4 — remove shuffles/passes outright). The global
+    (n, avgdl) pair needs one more (cheap, fully aggregated) scan.
+    Values are unchanged: doclen = sum(tf) per doc = token count;
+    df = count of (term, doc_id) groups = countDistinct(doc_id);
+    avgdl = clen / n is the same long/long double division avg() does."""
     tf = postings(docs)
-    dl = doclens(docs)
-    st = term_stats(docs).select("term", "df")
-    glob = dl.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avgdl")
+    enr = tf.withColumn(
+        "doclen", F.sum("tf").over(Window.partitionBy("doc_id")).cast("int")
+    ).withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term")).cast("int")
+    )
+    toks = tokens(docs)
+    glob = toks.agg(
+        F.countDistinct("doc_id").alias("n"),
+        (F.count(F.lit(1)) / F.countDistinct("doc_id")).alias("avgdl"),
     )
     q = _query_df(spark, queries)
-    return (
-        q.join(st, "term")
-        .join(tf, "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(glob))
-    )
+    return q.join(enr, "term").crossJoin(F.broadcast(glob))
 
 
 def bm25_scores(spark: SparkSession, docs: DataFrame, queries: list[dict]) -> DataFrame:

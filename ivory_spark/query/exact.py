@@ -256,7 +256,9 @@ def _rank_topk(index: Index, scored: DataFrame, k: int, with_docid: bool) -> Dat
         .filter(F.col("rank") <= k)
     )
     if with_docid:
-        topk = topk.join(index.docid_expr(), "docno")
+        # q*k rows behind a window have no size estimate — broadcast the
+        # tiny side so the docmap join never goes sort-merge (guide §3.1)
+        topk = F.broadcast(topk).join(index.docid_expr(), "docno")
     cols = ["qid", "rank", "docno"] + (["docid"] if with_docid else []) + ["score"]
     return topk.select(*cols).orderBy("qid", "rank")
 

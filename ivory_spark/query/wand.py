@@ -288,6 +288,9 @@ def bm25_topk_wand(
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.desc("docno"))
     topk = local.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
     if with_docid:
-        topk = topk.join(index.docid_expr(), "docno")
+        # topk is q*k rows but sits behind a window, so Catalyst has no
+        # size estimate and can pick a sort-merge join against the full
+        # docmap scan; broadcast the tiny side explicitly (guide §3.1)
+        topk = F.broadcast(topk).join(index.docid_expr(), "docno")
     cols = ["qid", "rank", "docno"] + (["docid"] if with_docid else []) + ["score"]
     return topk.select(*cols).orderBy("qid", "rank")

@@ -151,3 +151,59 @@ def test_pfor_beats_varint_on_small_gaps():
     gaps = np.ones(128, dtype=np.uint64) * 3  # 2 bits each
     assert len(pfor_encode(gaps)) < varint_encode(gaps).nbytes
     assert len(pfor_encode(gaps)) <= 2 + 32  # 2-bit packing + header
+
+
+def test_encode_frame_byte_identical_to_encode_run():
+    """encode_frame (the vectorized multi-run encoder the build uses)
+    must produce byte-for-byte the same blobs as per-run encode_run,
+    across block-size regimes, exception-heavy gap distributions, and
+    run boundaries where the next run restarts at a lower docno."""
+    from ivory_spark.index.codec import decode_run, encode_frame, encode_run
+
+    rng = np.random.default_rng(7)
+    starts, ends, dn, tf, dl, imp = [], [], [], [], [], []
+    pos = 0
+    for n in [1, 7, 31, 32, 129, 600, 2048, 5000]:
+        gaps = rng.choice(
+            [1, 2, 17, 255, 2**20, 2**45], size=n, p=[0.5, 0.2, 0.15, 0.08, 0.05, 0.02]
+        ).astype(np.uint64)
+        d = np.cumsum(gaps)
+        starts.append(pos)
+        ends.append(pos + n)
+        pos += n
+        dn.append(d)
+        tf.append(rng.integers(1, 40000, n).astype(np.int64))
+        dl.append(rng.integers(1, 10**9, n).astype(np.int64))
+        imp.append((rng.random(n) * 20).astype(np.float32))
+    dn, tfs = np.concatenate(dn), np.concatenate(tf)
+    dls, imps = np.concatenate(dl), np.concatenate(imp)
+    blobs = encode_frame(dn, tfs, dls, imps, np.array(starts), np.array(ends))
+    for i, (a, z) in enumerate(zip(starts, ends)):
+        assert blobs[i] == encode_run(dn[a:z], tfs[a:z], dls[a:z], imps[a:z])
+        got_d, got_t, got_l = decode_run(blobs[i])
+        assert np.array_equal(got_d, dn[a:z])
+        assert np.array_equal(got_t, tfs[a:z])
+        assert np.array_equal(got_l, dls[a:z])
+
+
+def test_encode_frame_rejects_non_increasing_within_run():
+    from ivory_spark.index.codec import encode_frame
+
+    one = np.ones(2, dtype=np.int64)
+    with pytest.raises(ValueError):
+        encode_frame(
+            np.array([5, 5], dtype=np.uint64), one, one,
+            np.ones(2, dtype=np.float32), np.array([0]), np.array([2]),
+        )
+    with pytest.raises(ValueError):
+        encode_frame(
+            np.array([9, 3], dtype=np.uint64), one, one,
+            np.ones(2, dtype=np.float32), np.array([0]), np.array([2]),
+        )
+    # a LOWER docno at a run boundary is legal (absolute restart)
+    blobs = encode_frame(
+        np.array([100, 200, 5, 6], dtype=np.uint64),
+        np.ones(4, dtype=np.int64), np.ones(4, dtype=np.int64),
+        np.ones(4, dtype=np.float32), np.array([0, 2]), np.array([2, 4]),
+    )
+    assert len(blobs) == 2
