@@ -132,15 +132,17 @@ def build_docmap(
     content exchange. Precondition (holds for every corpus source here):
     (repo, path, commit) identifies a row — two fully identical rows
     would both survive the re-attach where the window picked one."""
-    from pyspark.sql import Window
-
     w_cols = ["repo", "path", "commit"]
     keys = corpus.select(*w_cols, F.sha2(F.col("content"), 256).alias("sha256"))
-    w = Window.partitionBy("sha256").orderBy(*w_cols)
+    # winner per hash via partial-aggregated min(struct) — map-side
+    # combine shrinks the shuffle to ~one row per distinct hash and
+    # needs no per-partition sort, unlike the previous row_number window
+    # (struct comparison is lexicographic by field, identical to
+    # orderBy(repo, path, commit) rank-1)
     winners = (
-        keys.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        keys.groupBy("sha256")
+        .agg(F.min(F.struct(*w_cols)).alias("_k"))
+        .select("_k.repo", "_k.path", "_k.commit", "sha256")
     )
     slim, total, pinned = assign_sequential_ids(winners, w_cols, "docno", partitions)
     hashed = corpus.withColumn("sha256", F.sha2(F.col("content"), 256))
@@ -223,8 +225,13 @@ def build_index(
 
     tdf = spark.read.parquet(tdf_path)
 
-    # ---- stage: doclens --------------------------------------------------
-    if not stage_is_valid(index_root, "doclens", fp, [doclens_path]):
+    # ---- stages: doclens + dictionary (independent — both read only the
+    # tdf artifact — so they run as two concurrent driver threads; the
+    # second job's tasks back-fill executors freed by the first job's
+    # tail instead of waiting for a stage barrier, guide §2.6) ----------
+    def _run_doclens() -> None:
+        if stage_is_valid(index_root, "doclens", fp, [doclens_path]):
+            return
         with StageRun(index_root, "doclens", fp) as run:
             dls = tdf.groupBy("docno").agg(F.first("dl").alias("doclen"))
             # docs with zero kept tokens still get a row (doclen 0)
@@ -234,8 +241,9 @@ def build_index(
             all_docs.write.mode("overwrite").parquet(doclens_path)
             run.record_artifact(doclens_path)
 
-    # ---- stage: dictionary (df/cf stats + termid assignment) -------------
-    if not stage_is_valid(index_root, "dictionary", fp, [dict_path]):
+    def _run_dictionary() -> None:
+        if stage_is_valid(index_root, "dictionary", fp, [dict_path]):
+            return
         with StageRun(index_root, "dictionary", fp) as run:
             stats = tdf.groupBy("term").agg(
                 F.count(F.lit(1)).cast("int").alias("df"),
@@ -254,6 +262,13 @@ def build_index(
             pinned.unpersist()
             run.record_artifact(dict_path)
             run.metrics["n_terms"] = n_terms
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futures = [pool.submit(_run_doclens), pool.submit(_run_dictionary)]
+        for f in futures:
+            f.result()  # re-raise stage failures
 
     dictionary = spark.read.parquet(dict_path)
 

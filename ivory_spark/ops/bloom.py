@@ -86,8 +86,13 @@ def build_bloom_signatures(
              "bloom": [acc.tobytes()]}
         )
 
-    return per_run.groupBy("termid").applyInPandas(
-        merge, schema="termid long, df int, bloom binary"
+    from ivory_spark.functions.gmap import grouped_apply
+
+    # one Python dispatch per partition: merging one bloom per termid
+    # group would otherwise pay the tiny-group Arrow tax per TERM
+    return grouped_apply(
+        per_run, ["termid"], lambda key, pdf: merge(pdf),
+        schema="termid long, df int, bloom binary",
     )
 
 

@@ -47,6 +47,20 @@ from ivory_spark.ops.sampling import _h60, _u
 QUANT = 1_000_000  # micro-nat quantization of the per-bucket log-ratio
 
 
+def _totals(df: DataFrame) -> dict[int, int]:
+    """Per-bucket gram totals of an ngram_bucket_counts frame. Uses the
+    attached pre-aggregation projection when present (one map-side-
+    combined groupBy(bucket) of <= n_buckets rows per partition) instead
+    of executing the per-doc aggregation exchange the per-doc contract
+    needs — sum over docs of cnt == count of gram rows per bucket."""
+    src = getattr(df, "_ivory_bucket_source", None)
+    if src is not None:
+        rows = src.groupBy("bucket").agg(F.count("*").alias("c")).collect()
+    else:
+        rows = df.groupBy("bucket").agg(F.sum("cnt").alias("c")).collect()
+    return {int(r["bucket"]): int(r["c"]) for r in rows}
+
+
 def _grams(text_col: str):
     """Lowercase whitespace unigrams + adjacent bigrams ('a b') as one
     array column — the hashed feature set of the paper (word-level here;
@@ -81,16 +95,24 @@ def ngram_bucket_counts(
     g = docs.select(
         F.col(id_col), F.explode(_grams(text_col)).alias("gram")
     )
-    return (
-        g.select(
-            F.col(id_col),
-            (_h60(seed, F.col("gram")) % F.lit(int(n_buckets)))
-            .cast("int")
-            .alias("bucket"),
-        )
-        .groupBy(id_col, "bucket")
-        .agg(F.count("*").cast("long").alias("cnt"))
+    bucketed = g.select(
+        F.col(id_col),
+        (_h60(seed, F.col("gram")) % F.lit(int(n_buckets)))
+        .cast("int")
+        .alias("bucket"),
     )
+    out = bucketed.groupBy(id_col, "bucket").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    # fit_logratio/fit_logprob only need PER-BUCKET totals; the per-doc
+    # aggregation exchange (~n_docs x distinct-buckets rows) is pure
+    # waste for them. Attach the pre-aggregation projection so `_totals`
+    # can aggregate straight to <= n_buckets rows per partition
+    # (map-side combine, no corpus-sized shuffle). Consumers that
+    # transform the frame get a new object without the attribute and
+    # fall back to the generic path.
+    out._ivory_bucket_source = bucketed
+    return out
 
 
 def fit_logratio(
@@ -107,11 +129,7 @@ def fit_logratio(
     round() is half-away — floor(x + 0.5) agrees everywhere. Two
     n_buckets-row collects — model-sized, not corpus-sized.
     """
-    def totals(df: DataFrame) -> dict[int, int]:
-        rows = df.groupBy("bucket").agg(F.sum("cnt").alias("c")).collect()
-        return {int(r["bucket"]): int(r["c"]) for r in rows}
-
-    t, r = totals(target_counts), totals(raw_counts)
+    t, r = _totals(target_counts), _totals(raw_counts)
     tt = sum(t.values()) + alpha * n_buckets
     rt = sum(r.values()) + alpha * n_buckets
     out = []
@@ -157,8 +175,7 @@ def fit_logprob(
     model state never grows with data). lp[b] = floor(QUANT *
     ln((c_b + alpha) / (total + alpha * B)) + 0.5); one
     n_buckets-row collect."""
-    rows = ref_counts.groupBy("bucket").agg(F.sum("cnt").alias("c")).collect()
-    c = {int(r["bucket"]): int(r["c"]) for r in rows}
+    c = _totals(ref_counts)
     tot = sum(c.values()) + alpha * n_buckets
     return [
         int(math.floor(QUANT * math.log((c.get(b, 0) + alpha) / tot) + 0.5))

@@ -108,11 +108,22 @@ def _candidates(spark: SparkSession, docs: DataFrame, queries: list[dict]) -> Da
     Values are unchanged: doclen = sum(tf) per doc = token count;
     df = count of (term, doc_id) groups = countDistinct(doc_id);
     avgdl = clen / n is the same long/long double division avg() does."""
+    qterms = sorted(
+        {t for q in queries for t in q["query"].lower().split(" ") if t}
+    )
     tf = postings(docs)
-    enr = tf.withColumn(
-        "doclen", F.sum("tf").over(Window.partitionBy("doc_id")).cast("int")
-    ).withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("term")).cast("int")
+    # dl first (needs every term of a doc), then prune to query terms —
+    # the df window then sorts only the query terms' postings, not the
+    # whole corpus vocabulary (df per surviving term is unchanged: the
+    # term filter drops whole term-partitions, never rows within one)
+    enr = (
+        tf.withColumn(
+            "doclen", F.sum("tf").over(Window.partitionBy("doc_id")).cast("int")
+        )
+        .filter(F.col("term").isin(qterms))
+        .withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term")).cast("int")
+        )
     )
     toks = tokens(docs)
     glob = toks.agg(

@@ -116,8 +116,12 @@ def prune_survivors(
         retain = prune_retain_size(s[order], pruner, pruner_param, K)
         return pdf.iloc[order[:retain]]
 
-    return df.select("qid", "docno", "score").groupBy("qid").applyInPandas(
-        kernel, schema="qid string, docno long, score float"
+    from ivory_spark.functions.gmap import grouped_apply
+
+    return grouped_apply(
+        df.select("qid", "docno", "score"), ["qid"],
+        lambda key, pdf: kernel(pdf),
+        schema="qid string, docno long, score float",
     )
 
 

@@ -233,18 +233,24 @@ def _fold_scores(cand: DataFrame) -> DataFrame:
         return pd.DataFrame({"qid": np.repeat(key[0], len(d)), "docno": d, "score": s})
 
     # shard count follows session parallelism (capped): enough groups to
-    # spread one query's candidates across the executors, few enough to
-    # avoid the tiny-pandas-group dispatch tax on small gate-sized runs
+    # spread one query's candidates across the executors. grouped_apply
+    # (one Python dispatch per partition, gmap.py) replaces
+    # groupBy().applyInPandas so |queries| x shards tiny groups don't pay
+    # the per-group Arrow round-trip tax.
+    from ivory_spark.functions.gmap import grouped_apply
+
     try:
         sess_par = int(cand.sparkSession.conf.get("spark.sql.shuffle.partitions", "64"))
     except ValueError:  # e.g. "auto" under AQE-style configs
         sess_par = _FOLD_SHARDS
     n_shards = min(_FOLD_SHARDS, max(1, sess_par))
-    return (
-        cand.select("qid", "docno", "termid", "contrib")
-        .withColumn("_shard", F.pmod(F.col("docno"), F.lit(n_shards)))
-        .groupBy("qid", "_shard")
-        .applyInPandas(fold, schema="qid string, docno long, score float")
+    return grouped_apply(
+        cand.select("qid", "docno", "termid", "contrib").withColumn(
+            "_shard", F.pmod(F.col("docno"), F.lit(n_shards))
+        ),
+        ["qid", "_shard"],
+        fold,
+        schema="qid string, docno long, score float",
     )
 
 

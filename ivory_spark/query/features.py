@@ -373,8 +373,11 @@ def extract_features(
                 F.sequence(shard_of(F.col("first_docno")), shard_of(F.col("last_docno")))
             ),
         )
-        scored = runs.groupBy("qid", "shard").applyInPandas(
-            kernel, schema=feat_schema
+        from ivory_spark.functions.gmap import grouped_apply
+
+        # per-partition dispatch, not per-(qid, shard) group (gmap.py)
+        scored = grouped_apply(
+            runs, ["qid", "shard"], kernel, schema=feat_schema
         ).persist()  # coverage probe below + the final join reuse one run
         # one-deep cache registry (the scored_topk pattern): release the
         # PREVIOUS call's cache — this lazy API can't see the caller's

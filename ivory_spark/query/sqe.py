@@ -345,8 +345,13 @@ def sqe_topk(
         sel = np.lexsort((-cand, -scores.astype(np.float64)))[:k]
         return pd.DataFrame({"qid": qid, "docno": cand[sel], "score": scores[sel]})
 
-    local = runs.groupBy("qid", "shard").applyInPandas(
-        kernel, schema="qid string, docno long, score float"
+    from ivory_spark.functions.gmap import grouped_apply
+
+    # one Python dispatch per partition instead of per (qid, shard)
+    # group — the tiny-group Arrow round-trip tax dominates batched
+    # query kernels otherwise (see functions/gmap.py)
+    local = grouped_apply(
+        runs, ["qid", "shard"], kernel, schema="qid string, docno long, score float"
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.desc("docno"))
     topk = local.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -282,8 +282,14 @@ def bm25_topk_wand(
         d, s = _score_group(pdf, n_docs, avgdl, k1, b, idf_mode, lo, hi, k)
         return pd.DataFrame({"qid": np.repeat(qid, len(d)), "docno": d, "score": s})
 
-    local = runs.groupBy("qid", "shard").applyInPandas(
-        kernel, schema="qid string, docno long, score float"
+    # grouped_apply, not groupBy().applyInPandas: a query batch over the
+    # shard grid makes |queries| x n_shards tiny groups, and Spark's
+    # per-group Arrow dispatch (~8 ms each) would dominate the kernel —
+    # one mapInPandas stream per partition pays the tax once (gmap.py)
+    from ivory_spark.functions.gmap import grouped_apply
+
+    local = grouped_apply(
+        runs, ["qid", "shard"], kernel, schema="qid string, docno long, score float"
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.desc("docno"))
     topk = local.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
