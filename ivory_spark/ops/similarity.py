@@ -48,7 +48,9 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: (qid, rank, vec_id, cosine). Excludes self-match
     when qid == vec_id. Tie-break: cosine desc, vec_id asc."""
-    j = queries.crossJoin(emb).filter(F.col(qid_col) != F.col(id_col))
+    from ivory_spark.functions.gmap import spread_partitions
+
+    j = queries.crossJoin(spread_partitions(emb)).filter(F.col(qid_col) != F.col(id_col))
     j = j.withColumn("cosine", F.round(cosine_expr(F.col(qvec_col), F.col(vec_col)), 6))
     w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -124,8 +126,10 @@ def lsh_bucketed_topk(
     query (query side multiprobes its Hamming-<=multiprobe neighbor
     buckets for recall). At 100 TB the bucket equi-join replaces the
     cross product; recall is tuned via n_planes and multiprobe."""
+    from ivory_spark.functions.gmap import spread_partitions
+
     planes = rademacher_planes(dim, n_planes)
-    e = emb.withColumn("bucket", srp_bucket_expr(F.col(vec_col), planes))
+    e = spread_partitions(emb).withColumn("bucket", srp_bucket_expr(F.col(vec_col), planes))
     q = queries.withColumn(
         "bucket", F.explode(probe_buckets_expr(F.col(qvec_col), planes, multiprobe))
     )
@@ -252,8 +256,10 @@ def ivf_topk(
     Recall < 1.0 by design (verified vs brute force in tests); the cell
     equi-join replaces the cross product at scale. lloyd_iters refines
     the sampled centroids (see ivf_centroids; gates pin the default 0)."""
+    from ivory_spark.functions.gmap import spread_partitions
+
     cents = ivf_centroids(emb, n_centroids, id_col, vec_col, lloyd_iters)
-    e = emb.withColumn("cell", _cell_expr(F.col(vec_col), cents))
+    e = spread_partitions(emb).withColumn("cell", _cell_expr(F.col(vec_col), cents))
     qcos = F.array(*[_fold_cosine(F.col(qvec_col), v) for _, v in cents])
     # top-nprobe cells: sort (cosine desc, idx asc) via struct sort
     probe = F.slice(
