@@ -77,6 +77,12 @@ def _jvm_doc_terms(expr_fn, positional: bool):
     (pos)explode + groupBy; Catalyst supplies partial aggregation."""
 
     def build(df: DataFrame, docno: str = "docno", content: str = "content") -> DataFrame:
+        from ivory_spark.functions.gmap import spread_partitions
+
+        # a small corpus parquet is often one unsplittable row group, so
+        # the regexp tokenize + explode (the map side of the groupBy)
+        # would run in 1-3 tasks regardless of cores; no-op at scale
+        df = spread_partitions(df)
         if not positional:
             toks = df.select(F.col(docno), F.explode(expr_fn(F.col(content))).alias("term"))
             tf = toks.groupBy(docno, "term").agg(F.count(F.lit(1)).cast("int").alias("tf"))
@@ -395,7 +401,13 @@ def _python_doc_terms(tokenize_fn, positional: bool):
                     data["positions"] = pd.Series(p_out, dtype="object")
                 yield pd.DataFrame(data)
 
-        return df.select(docno, content).mapInPandas(gen, schema=schema)
+        from ivory_spark.functions.gmap import spread_partitions
+
+        # spread scan-bound inputs so the Python tokenizer runs on every
+        # core, not one unsplittable row group's task (no-op at scale)
+        return spread_partitions(df.select(docno, content)).mapInPandas(
+            gen, schema=schema
+        )
 
     return build
 

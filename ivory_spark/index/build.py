@@ -305,15 +305,24 @@ def build_index(
     # ---- stage: postings (salted term-partitioned encode) ----------------
     if not stage_is_valid(index_root, "postings", fp, [postings_path]):
         with StageRun(index_root, "postings", fp) as run:
-            joined = tdf.join(dictionary.select("term", "termid", "df", "cf"), "term").drop(
+            # cf is a per-term constant the encode kernel never reads:
+            # leave it out of the posting-row shuffle (8 B/row, ~20% of
+            # the exchange at 500k docs — guide §2.3) and re-attach it to
+            # the run-level rows (vocabulary-sized) after encoding
+            joined = tdf.join(dictionary.select("term", "termid", "df"), "term").drop(
                 "term"
             )
             postings = encode_postings(
                 joined, cfg, props["n_docs"], props["avgdl"], partitions
+            ).drop("cf")
+            postings = postings.join(
+                F.broadcast(dictionary.select("termid", "cf")), "termid"
             )
+            cols = [f.split()[0] for f in _postings_schema(cfg.positional).split(", ")]
             # cluster by termid for parquet row-group pruning at query time
             (
-                postings.repartitionByRange(partitions, "termid")
+                postings.select(*cols)
+                .repartitionByRange(partitions, "termid")
                 .sortWithinPartitions("termid", "salt")
                 .write.mode("overwrite")
                 .parquet(postings_path)
@@ -358,7 +367,7 @@ def encode_postings(
         tf = pdf["tf"].to_numpy(np.int64)
         dl = pdf["dl"].to_numpy(np.int64)
         dfs = pdf["df"].to_numpy(np.int64)
-        cfs = pdf["cf"].to_numpy(np.int64)
+        has_cf = "cf" in pdf.columns
         chg = np.nonzero(np.concatenate(([True], (t[1:] != t[:-1]) | (s[1:] != s[:-1]))))[0]
         ends = np.concatenate((chg[1:], [len(t)]))
         idf_all = bm25_idf(n_docs, dfs, mode=idf_mode)
@@ -368,7 +377,8 @@ def encode_postings(
             "termid": t[chg],
             "salt": s[chg],
             "df": dfs[chg],
-            "cf": cfs[chg],
+            "cf": pdf["cf"].to_numpy(np.int64)[chg] if has_cf
+            else np.zeros(len(chg), dtype=np.int64),
             "n": ends - chg,
             "first_docno": docno[chg],
             "last_docno": docno[ends - 1],
