@@ -53,12 +53,26 @@ def query_term_rows(
         terms.update(t for t, _ in counts)
     if not terms:
         return [], []
-    lookup = {
-        r["term"]: (r["termid"], r["df"], r["cf"])
-        for r in index.dictionary.filter(F.col("term").isin(sorted(terms)))
-        .select("term", "termid", "df", "cf")
-        .collect()
-    }
+    # per-Index memo of resolved terms (hits AND misses): repeat queries
+    # skip the dictionary-scan job entirely — the in-process form of
+    # Ivory's resident dictionary (RetrievalEnvironment.java:66-67).
+    # Query-term-sized, never vocabulary-sized; dies with the Index
+    # object, so a reopened (e.g. compacted) index starts clean.
+    cache = getattr(index, "_term_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(index, "_term_cache", cache)
+    missing = sorted(t for t in terms if t not in cache)
+    if missing:
+        found = {
+            r["term"]: (r["termid"], r["df"], r["cf"])
+            for r in index.dictionary.filter(F.col("term").isin(missing))
+            .select("term", "termid", "df", "cf")
+            .collect()
+        }
+        for t in missing:
+            cache[t] = found.get(t)  # None = OOV, cached too
+    lookup = {t: cache[t] for t in terms if cache[t] is not None}
     rows = []
     termids = set()
     for qid, counts in per_q:
