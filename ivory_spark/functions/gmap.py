@@ -42,7 +42,9 @@ def grouped_apply(
 
     def emit(body: pd.DataFrame):
         outs = []
-        for key, g in body.groupby(keys, sort=False):
+        # dropna=False: applyInPandas keeps null-keyed groups, so we do
+        # too (no current caller has nullable keys, but don't diverge)
+        for key, g in body.groupby(keys, sort=False, dropna=False):
             key_t = key if isinstance(key, tuple) else (key,)
             out = fn(key_t, g.reset_index(drop=True))
             if out is not None and len(out):
