@@ -52,24 +52,50 @@ def grouped_apply(
         if outs:
             yield pd.concat(outs, ignore_index=True)
 
+    def _eq_mask(pdf: pd.DataFrame, key_row) -> "pd.Series":
+        """Rows of pdf whose key columns equal key_row, null-safe
+        (NaN == NaN counts as equal, matching groupby dropna=False)."""
+        m = None
+        for k in keys:
+            v = key_row[k]
+            col = pdf[k]
+            mk = col.isna() if pd.isna(v) else (col == v)
+            m = mk if m is None else (m & mk)
+        return m.to_numpy()
+
     def stream(batches):
-        carry: pd.DataFrame | None = None
+        # carry: list of frames all belonging to the current tail group —
+        # appended per batch and concatenated ONCE when the group closes,
+        # so a group spanning B batches copies its rows once, not B times
+        carry: list[pd.DataFrame] = []
         for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            n = len(pdf)
-            if n == 0:
+            if len(pdf) == 0:
                 continue
-            same_as_last = (pdf[keys] == pdf[keys].iloc[-1]).all(axis=1).to_numpy()
-            if same_as_last.all():
-                carry = pdf  # the whole batch is one (possibly straddling) group
+            if carry:
+                ck = carry[-1][keys].iloc[-1]
+                m = _eq_mask(pdf, ck)
+                if m.all():
+                    carry.append(pdf)
+                    continue
+                # keys are sorted within the partition, so the carry
+                # group's remaining rows are a contiguous batch prefix
+                split = int((~m).argmax())
+                if split:
+                    carry.append(pdf.iloc[:split])
+                yield from emit(pd.concat(carry, ignore_index=True))
+                carry = []
+                pdf = pdf.iloc[split:].reset_index(drop=True)
+                if len(pdf) == 0:
+                    continue
+            m = _eq_mask(pdf, pdf[keys].iloc[-1])
+            if m.all():
+                carry = [pdf]  # whole batch is one (possibly straddling) group
                 continue
-            tail_start = n - int(same_as_last[::-1].argmin())
-            carry = pdf.iloc[tail_start:]
+            tail_start = len(pdf) - int(m[::-1].argmin())
+            carry = [pdf.iloc[tail_start:]]
             yield from emit(pdf.iloc[:tail_start])
-        if carry is not None and len(carry):
-            yield from emit(carry)
+        if carry:
+            yield from emit(pd.concat(carry, ignore_index=True))
 
     return sdf.mapInPandas(stream, schema)
 

@@ -131,7 +131,10 @@ def build_docmap(
     past the broadcast budget it falls back to a shuffled-hash join, one
     content exchange. Precondition (holds for every corpus source here):
     (repo, path, commit) identifies a row — two fully identical rows
-    would both survive the re-attach where the window picked one."""
+    would both survive the re-attach where the window picked one;
+    build_index detects that case from the (free) written-row count and
+    repairs it with a dropDuplicates(docno), restoring the
+    exactly-one-survivor-per-hash contract."""
     w_cols = ["repo", "path", "commit"]
     keys = corpus.select(*w_cols, F.sha2(F.col("content"), 256).alias("sha256"))
     # winner per hash via partial-aggregated min(struct) — map-side
@@ -147,7 +150,26 @@ def build_docmap(
     slim, total, pinned = assign_sequential_ids(winners, w_cols, "docno", partitions)
     hashed = corpus.withColumn("sha256", F.sha2(F.col("content"), 256))
     join_key = w_cols + ["sha256"]
+    # broadcast gate in BYTES, not rows: long repo/path strings could
+    # push a row-counted gate into a multi-hundred-MB forced broadcast.
+    # The width probe is one tiny agg over the already-persisted slim
+    # frame (reads the cache, no recompute).
+    broadcast_ok = False
     if total <= 1_000_000:
+        if total == 0:
+            broadcast_ok = True
+        else:
+            avg_w = (
+                slim.agg(
+                    F.avg(
+                        F.length("repo") + F.length("path") + F.length("commit")
+                    ).alias("w")
+                ).collect()[0]["w"]
+                or 0.0
+            )
+            # 64 hex sha + 8B docno + per-row java overhead headroom
+            broadcast_ok = total * (avg_w + 72 + 48) <= 256 * 1024 * 1024
+    if broadcast_ok:
         docmap = hashed.join(F.broadcast(slim), join_key)
     else:
         docmap = hashed.join(slim.hint("shuffle_hash"), join_key)
@@ -191,6 +213,23 @@ def build_index(
             docmap, n_docs, pinned = build_docmap(spark, corpus, partitions)
             docmap.write.mode("overwrite").parquet(docmap_path)
             pinned.unpersist()
+            # build_docmap's slim re-attach join assumes (repo, path,
+            # commit) identifies a row; a corpus with fully identical
+            # rows would fan the winner out to the same docno twice.
+            # The footer-only count is free — detect the (pathological)
+            # case and restore the exactly-one-survivor-per-hash
+            # semantics by deduping on docno (fanned rows are identical
+            # by construction: same key, same sha, hence same content).
+            written = spark.read.parquet(docmap_path).count()
+            if written != n_docs:
+                fixed = spark.read.parquet(docmap_path).dropDuplicates(["docno"])
+                tmp_path = docmap_path + "_dedup_tmp"
+                fixed.write.mode("overwrite").parquet(tmp_path)
+                import shutil as _sh
+
+                _sh.rmtree(docmap_path)
+                os.replace(tmp_path, docmap_path)
+                run.metrics["duplicate_rows_repaired"] = int(written - n_docs)
             run.record_artifact(docmap_path)
             run.metrics["n_docs"] = n_docs
             run.metrics["partitions"] = partitions

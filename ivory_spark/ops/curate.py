@@ -117,10 +117,7 @@ def curate_corpus(
     if redact:
         # redaction is a per-row regexp projection: rewrite the text
         # column in place instead of joining redact_pii's output back
-        red = F.col(text_col)
-        for pat, tag in _pii._TAGS:
-            red = F.regexp_replace(red, pat, tag)
-        out = out.withColumn(text_col, red)
+        out = out.withColumn(text_col, _pii.redact_expr(F.col(text_col)))
 
     if mixture is not None:
         out = _samp.mixture_sample(out, mixture, id_col=id_col)

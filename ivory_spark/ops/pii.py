@@ -23,7 +23,7 @@ phone pattern could otherwise nibble), then phones, then IPs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 # user@host.tld — local part and host restricted to the common ASCII set.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -63,13 +63,20 @@ def pii_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def redact_expr(text: Column) -> Column:
+    """The email -> phone -> IPv4 redaction chain as a standalone column
+    expression — the composable form pipeline recipes (ops/curate) apply
+    in place; redact_pii is the projection view of the same chain."""
+    t = text
+    for pat, tag in _TAGS:
+        t = F.regexp_replace(t, pat, tag)
+    return t
+
+
 def redact_pii(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, text) with every email/phone/IPv4 match replaced by its
     tag, applied in the fixed order email -> phone -> IP. Same per-row
     projection shape as pii_stats; the output column keeps `text_col`'s
     name so the op drops into a pipeline in place of the raw table.
     """
-    t = F.col(text_col)
-    for pat, tag in _TAGS:
-        t = F.regexp_replace(t, pat, tag)
-    return docs.select(F.col(id_col), t.alias(text_col))
+    return docs.select(F.col(id_col), redact_expr(F.col(text_col)).alias(text_col))

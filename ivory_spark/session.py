@@ -132,7 +132,7 @@ def _warm_start(spark: SparkSession) -> None:
 
         (
             exploded.groupBy("term")
-            .agg(F.count(F.lit(1)).alias("c"), F.sum("h").alias("s"))
+            .agg(F.count(F.lit(1)).alias("c"), F.sum(F.col("h") % 1000003).alias("s"))
             .withColumn(
                 "rs",
                 F.sum("c").over(

@@ -4,6 +4,13 @@ cross-bench-run comparison. Old implementations are loaded by file path
 from a git worktree of the round-start commit (default /tmp/r06_head).
 
 Usage: python tools/ab_r06.py [reps] [which ...]
+
+Caveat: a module loaded by file path still resolves its `ivory_spark.*`
+imports from the CURRENT tree, so an "old" variant is only a clean
+baseline when its measured hot path lives in the loaded file itself
+(true for the cases here: ir_relational is self-contained, curate's
+changed stages are in curate.py, build_docmap in build.py). Don't add
+cases whose old hot path delegates to a module changed this round.
 """
 
 from __future__ import annotations
