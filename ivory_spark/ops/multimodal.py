@@ -316,10 +316,14 @@ def decode_real(media: DataFrame) -> DataFrame:
                         out["error"].append(
                             f"codec required for format '{fmt}' — not in container"
                         )
-                except (ValueError, EOFError) as e:  # malformed blob
+                except Exception as e:  # noqa: BLE001 — per-row isolation:
+                    # a malformed RIFF chunk raises wave.Error, truncated
+                    # netpbm raises ValueError/EOFError, and any other
+                    # codec surprise must mark THIS row failed rather
+                    # than kill the whole 100-TB job (ADVICE r05)
                     feats = [0.0] * 9
                     out["decoded"].append(False)
-                    out["error"].append(str(e))
+                    out["error"].append(f"{type(e).__name__}: {e}")
                 out["format"].append(fmt)
                 out["features"].append(feats)
             yield pd.DataFrame(out)
@@ -347,16 +351,31 @@ def resize_real(media: DataFrame, target_w: int = 224, target_h: int = 224) -> D
             ):
                 b = bytes(p)
                 if _sniff(b) != "netpbm":
-                    rows.append((int(mid), int(w), int(h), target_w, target_h,
-                                 False, b))
+                    # metadata width/height may be NULL for real ingested
+                    # blobs — pass them through instead of raising inside
+                    # the UDF (per-row isolation, ADVICE r05)
+                    rows.append((
+                        int(mid),
+                        int(w) if w is not None and w == w else -1,
+                        int(h) if h is not None and h == h else -1,
+                        target_w, target_h, False, b,
+                    ))
                     continue
-                px = decode_ppm(b)
-                sh, sw = px.shape[:2]
-                yi = (np.arange(target_h) * sh // target_h).astype(np.int64)
-                xi = (np.arange(target_w) * sw // target_w).astype(np.int64)
-                resized = px[yi][:, xi]
-                rows.append((int(mid), sw, sh, target_w, target_h, True,
-                             encode_ppm(resized)))
+                try:
+                    px = decode_ppm(b)
+                    sh, sw = px.shape[:2]
+                    yi = (np.arange(target_h) * sh // target_h).astype(np.int64)
+                    xi = (np.arange(target_w) * sw // target_w).astype(np.int64)
+                    resized = px[yi][:, xi]
+                    rows.append((int(mid), sw, sh, target_w, target_h, True,
+                                 encode_ppm(resized)))
+                except Exception:  # noqa: BLE001 — malformed netpbm row
+                    rows.append((
+                        int(mid),
+                        int(w) if w is not None and w == w else -1,
+                        int(h) if h is not None and h == h else -1,
+                        target_w, target_h, False, b,
+                    ))
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "src_w", "src_h", "target_w", "target_h",

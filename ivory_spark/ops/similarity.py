@@ -204,8 +204,11 @@ def ivf_centroids(
     element-wise mean — cosine is scale-invariant so the unnormalized
     mean yields identical assignments). Each iteration is one JVM-side
     assignment pass + one (cell, idx) aggregation; empty cells keep
-    their previous centroid. Deterministic given the deterministic
-    seed sample. The default (0) stays the SQL-reproducible sampled
+    their previous centroid. Deterministic up to float64 summation
+    order: F.avg accumulates in partition order, so refined centroids
+    (and cell assignments exactly at ties) can differ across partition
+    counts — the gates pin lloyd_iters=0, the bit-reproducible mode
+    (ADVICE r05). The default (0) stays the SQL-reproducible sampled
     mode the gates pin; Lloyd mode trades that for the recall/balance a
     real IVF index wants at scale (recall grid: BENCH.md)."""
     from ivory_spark.ops.dedup import portable_hash

@@ -157,6 +157,14 @@ def cascade_topk(
        "stage2": {"docs_scored", "unit_cost", "wall_sec"},   (last stage)
        "stages": [per-stage dicts in order],
        "total_cost_units", "flat_cost_units_ub", "cost_vs_flat"}
+    
+
+    Caller contract when `costs` is requested: the RETURNED frame is
+    the final stage's scored frame, still persisted (the accounting
+    already materialized it, and the caller's action should hit the
+    cached k-rows/query result rather than re-run the cascade). Call
+    .unpersist() on it when done — repeated cost-instrumented calls in
+    a long session otherwise accumulate executor memory (ADVICE r05).
     """
     import time
 

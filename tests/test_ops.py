@@ -436,3 +436,36 @@ def test_multimodal_real_resize(spark, docs):
     yi = (np.arange(3) * h // 3)
     xi = (np.arange(4) * w // 4)
     assert np.array_equal(px, src[yi][:, xi])
+
+
+def test_multimodal_decode_real_isolates_malformed_wav(spark):
+    """A RIFF/WAVE-sniffed payload with a malformed chunk structure
+    raises wave.Error inside the decoder; the per-row isolation contract
+    says that row is marked decoded=false — the job must not die
+    (ADVICE r05)."""
+    from ivory_spark.ops.multimodal import decode_real
+
+    bad_wav = b"RIFF" + (9999).to_bytes(4, "little") + b"WAVE" + b"\x00" * 8
+    media = spark.createDataFrame(
+        [(1, "audio", len(bad_wav), bytearray(bad_wav))],
+        "media_id long, kind string, n_bytes long, payload binary",
+    )
+    rows = decode_real(media).collect()
+    assert len(rows) == 1
+    assert rows[0]["decoded"] is False
+    assert rows[0]["format"] == "wav"
+    assert "Error" in rows[0]["error"] or "error" in rows[0]["error"].lower()
+
+
+def test_multimodal_resize_real_null_dims_pass_through(spark):
+    """Non-netpbm rows with NULL width/height must pass through
+    resized=false instead of raising TypeError in the UDF (ADVICE r05)."""
+    from ivory_spark.ops.multimodal import resize_real
+
+    media = spark.createDataFrame(
+        [(1, "image", None, None, bytearray(b"\xff\xd8\xff not really jpeg"))],
+        "media_id long, kind string, width int, height int, payload binary",
+    )
+    rows = resize_real(media).collect()
+    assert len(rows) == 1
+    assert rows[0]["resized"] is False
