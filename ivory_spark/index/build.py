@@ -156,7 +156,9 @@ def build_docmap(
     # frame (reads the cache, no recompute).
     broadcast_ok = False
     if total <= 1_000_000:
-        if total == 0:
+        if total <= 100_000:
+            # even pathological kB-scale keys stay ~100 MB here — skip
+            # the probe job entirely for the common small-corpus case
             broadcast_ok = True
         else:
             avg_w = (
